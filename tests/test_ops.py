@@ -1,0 +1,168 @@
+"""Device ops vs spec oracle."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from genomeassembler_dev_tpu.core.encoding import encode_dna, kmer_code, kmer_codes_np
+from genomeassembler_dev_tpu.ops.edit_distance import batched_levenshtein
+from genomeassembler_dev_tpu.ops.histogram import count_kmers, count_kmers_batched
+from genomeassembler_dev_tpu.ops.ks import batched_ks_2samp
+from genomeassembler_dev_tpu.ops.match import find_first_match
+from genomeassembler_dev_tpu.ops.windows import kmer_window_codes, pack_words
+from genomeassembler_dev_tpu.spec import reference_semantics as spec
+
+
+def rand_dna(rng, n):
+    return "".join(rng.choice(list("ACGT"), size=n))
+
+
+class TestWindows:
+    def test_matches_numpy(self):
+        s = "ACGTTGCATTGCAAGT"
+        codes = jnp.asarray(encode_dna(s))
+        for k in (2, 5, 8, 15):
+            out, valid = kmer_window_codes(codes, k)
+            np.testing.assert_array_equal(np.asarray(out), kmer_codes_np(encode_dna(s), k))
+            assert bool(np.asarray(valid).all())
+
+    def test_invalid_propagates(self):
+        codes = jnp.asarray(encode_dna("ACNTACGT"))
+        out, valid = kmer_window_codes(codes, 3)
+        assert np.asarray(valid).tolist() == [False, False, False, True, True, True]
+
+    def test_pack_words_matches_host(self):
+        from genomeassembler_dev_tpu.core.encoding import pack_words_np
+
+        rng = np.random.default_rng(0)
+        for L in (5, 16, 17, 40):
+            codes = rng.integers(0, 4, size=(3, L)).astype(np.uint8)
+            np.testing.assert_array_equal(
+                np.asarray(pack_words(jnp.asarray(codes))), pack_words_np(codes)
+            )
+
+
+class TestHistogram:
+    def test_count(self):
+        codes = jnp.asarray([0, 1, 1, 5, 2], dtype=jnp.int32)
+        valid = jnp.asarray([True, True, True, True, False])
+        out = np.asarray(count_kmers(codes, valid, 6))
+        assert out.tolist() == [1, 2, 0, 0, 0, 1]
+
+    def test_batched(self):
+        codes = jnp.asarray([[0, 1], [1, 1]], dtype=jnp.int32)
+        valid = jnp.ones((2, 2), bool)
+        out = np.asarray(count_kmers_batched(codes, valid, 3))
+        assert out.tolist() == [[1, 1, 0], [0, 2, 0]]
+
+
+class TestEditDistance:
+    @pytest.mark.parametrize("mode", ["NW", "HW"])
+    def test_vs_spec_random(self, mode):
+        rng = np.random.default_rng(3)
+        target = rand_dna(rng, 60)
+        queries = [rand_dna(rng, int(rng.integers(1, 80))) for _ in range(12)]
+        M = max(len(q) for q in queries)
+        qmat = np.zeros((len(queries), M), np.uint8)
+        qlen = np.array([len(q) for q in queries], np.int32)
+        for i, q in enumerate(queries):
+            qmat[i, : len(q)] = encode_dna(q)
+        out = np.asarray(
+            batched_levenshtein(jnp.asarray(qmat), jnp.asarray(qlen),
+                                jnp.asarray(encode_dna(target)), mode=mode)
+        )
+        expect = [spec.levenshtein(q, target, mode=mode) for q in queries]
+        assert out.tolist() == expect
+
+    def test_padded_target(self):
+        rng = np.random.default_rng(4)
+        target = rand_dna(rng, 30)
+        q = rand_dna(rng, 25)
+        tpad = np.zeros(50, np.uint8)
+        tpad[:30] = encode_dna(target)
+        out = batched_levenshtein(
+            jnp.asarray(encode_dna(q))[None, :],
+            jnp.asarray([25], dtype=jnp.int32),
+            jnp.asarray(tpad),
+            target_len=30,
+        )
+        assert int(out[0]) == spec.levenshtein(q, target, mode="NW")
+
+
+class TestMatch:
+    def test_vs_str_find(self):
+        rng = np.random.default_rng(5)
+        paths = [rand_dna(rng, int(rng.integers(30, 80))) for _ in range(6)]
+        # reads: some substrings of paths, some random
+        read_len = 12
+        reads = []
+        for _ in range(20):
+            if rng.random() < 0.6:
+                p = paths[int(rng.integers(len(paths)))]
+                start = int(rng.integers(0, len(p) - read_len + 1))
+                reads.append(p[start : start + read_len])
+            else:
+                reads.append(rand_dna(rng, read_len))
+        L = max(len(p) for p in paths)
+        pmat = np.full((len(paths), L), 255, np.uint8)
+        plen = np.array([len(p) for p in paths], np.int32)
+        for i, p in enumerate(paths):
+            pmat[i, : len(p)] = encode_dna(p)
+        rmat = np.stack([encode_dna(r) for r in reads])
+        found, first = find_first_match(
+            jnp.asarray(pmat), jnp.asarray(plen), jnp.asarray(rmat),
+            jnp.ones(len(reads), bool), read_chunk=8,
+        )
+        found, first = np.asarray(found), np.asarray(first)
+        for i, p in enumerate(paths):
+            for j, r in enumerate(reads):
+                pos = p.find(r)
+                assert found[i, j] == (pos != -1), (i, j)
+                if pos != -1:
+                    assert first[i, j] == pos, (i, j, pos, first[i, j])
+
+    def test_long_reads_multiword(self):
+        rng = np.random.default_rng(6)
+        p = rand_dna(rng, 120)
+        reads = [p[10:50], p[77:117], rand_dna(rng, 40)]  # 40-mers: 3 words
+        pmat = jnp.asarray(encode_dna(p))[None, :]
+        rmat = jnp.asarray(np.stack([encode_dna(r) for r in reads]))
+        found, first = find_first_match(
+            pmat, jnp.asarray([120], dtype=jnp.int32), rmat, jnp.ones(3, bool)
+        )
+        assert np.asarray(found)[0].tolist() == [True, True, p.find(reads[2]) != -1]
+        assert int(first[0, 0]) == p.find(reads[0])
+        assert int(first[0, 1]) == 77 or p.find(reads[1]) == int(first[0, 1])
+
+
+class TestKS:
+    def test_vs_spec(self):
+        rng = np.random.default_rng(7)
+        y = rng.random(97)
+        xs = rng.random((5, 200))
+        xs[1, :150] = 0.0  # heavy ties like real path_freq rows
+        out = np.asarray(batched_ks_2samp(jnp.asarray(xs, dtype=jnp.float32), jnp.asarray(y, dtype=jnp.float32)))
+        for i in range(xs.shape[0]):
+            expect = spec.ks_2samp(xs[i].astype(np.float32), y.astype(np.float32))
+            assert abs(out[i] - expect) < 1e-6, i
+
+    def test_nan_row(self):
+        xs = jnp.asarray(np.full((1, 10), np.nan), dtype=jnp.float32)
+        y = jnp.asarray(np.arange(5), dtype=jnp.float32)
+        assert np.isnan(np.asarray(batched_ks_2samp(xs, y))[0])
+
+
+class TestDbgDevice:
+    @pytest.mark.parametrize("seed,glen,rlen,k", [(0, 40, 8, 5), (1, 120, 12, 7), (2, 200, 12, 9), (3, 300, 15, 11)])
+    def test_contigs_match_spec(self, seed, glen, rlen, k):
+        from genomeassembler_dev_tpu.dbg.assemble import contigs_from_read_codes
+
+        rng = np.random.default_rng(seed)
+        g = rand_dna(rng, glen)
+        starts = sorted(set(rng.integers(0, glen - rlen + 1, size=glen).tolist()) | {0, glen - rlen})
+        reads = [g[i : i + rlen] for i in starts]
+        read_codes = np.stack([encode_dna(r) for r in reads])
+        got = contigs_from_read_codes(read_codes, np.ones(len(reads), bool), k, glen + k)
+        kmers = [r[i : i + k] for r in reads for i in range(rlen - k + 1)]
+        expect = spec.get_contig_set(kmers, k)
+        assert got == expect
