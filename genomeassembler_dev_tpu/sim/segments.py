@@ -1,0 +1,118 @@
+"""Segment store: FASTA IO, synthetic genomes, and reference-segment sampling.
+
+The reference samples 1,000 (chromosome, start) pairs from BSgenome
+T2T-CHM13v2.0 autosomes and caches them as a FASTA
+(lib/GenerateReads.R:49-111). The 3 GB genome package is an external asset;
+this module implements the identical sampling contract against any
+user-provided genome FASTA, plus a seeded synthetic-genome source so the full
+pipeline runs hermetically.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+import numpy as np
+
+from genomeassembler_dev_tpu.core.encoding import decode_dna, encode_dna
+
+
+def read_fasta(path: str) -> dict[str, str]:
+    """Minimal FASTA reader: name (up to first whitespace) -> sequence."""
+    seqs: dict[str, list[str]] = {}
+    name = None
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if not line:
+                continue
+            if line.startswith(">"):
+                name = line[1:].split()[0]
+                seqs[name] = []
+            else:
+                if name is None:
+                    raise ValueError(f"{path}: sequence before header")
+                seqs[name].append(line.upper())
+    return {k: "".join(v) for k, v in seqs.items()}
+
+
+def write_fasta(path: str, seqs: dict[str, str], width: int = 80) -> None:
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    with open(path, "w") as f:
+        for name, seq in seqs.items():
+            f.write(f">{name}\n")
+            for i in range(0, len(seq), width):
+                f.write(seq[i : i + width] + "\n")
+
+
+def synthetic_genome(seed: int, length: int) -> str:
+    """Seeded uniform-random ACGT sequence (hermetic stand-in for T2T)."""
+    rng = np.random.default_rng(seed)
+    return decode_dna(rng.integers(0, 4, size=length).astype(np.uint8))
+
+
+@dataclass(frozen=True)
+class SegmentStore:
+    """Named segments, the unit of experiment sharding. Mirrors the
+    reference's SampledRefGenome FASTA contract (GenerateReads.R:97-106):
+    names are '<chrom>_<start>' and duplicates are removed."""
+
+    names: tuple[str, ...]
+    seqs: tuple[str, ...]
+
+    def __len__(self):
+        return len(self.names)
+
+    def codes(self, ind: int) -> np.ndarray:
+        return encode_dna(self.seqs[ind])
+
+    def save(self, path: str) -> None:
+        write_fasta(path, dict(zip(self.names, self.seqs)))
+
+    @staticmethod
+    def load(path: str) -> "SegmentStore":
+        d = read_fasta(path)
+        return SegmentStore(names=tuple(d), seqs=tuple(d.values()))
+
+
+def sample_segments(
+    genome: dict[str, str],
+    seq_len: int,
+    n_samples: int,
+    seed: int,
+) -> SegmentStore:
+    """Sample (chromosome, start) pairs and extract seq_len segments,
+    following GenerateReads.R:69-90: chromosome uniform over entries, start
+    uniform in [1, len-1] (1-based), sorted by (chrom, start), deduplicated
+    (unique sequences, first name kept)."""
+    rng = np.random.default_rng(seed)
+    chroms = list(genome)
+    picks = rng.integers(0, len(chroms), size=n_samples)
+    entries = []
+    for c_idx in picks:
+        chrom = chroms[c_idx]
+        clen = len(genome[chrom])
+        start = int(rng.integers(1, clen - 1, endpoint=True))  # 1-based
+        entries.append((chrom, start))
+    entries.sort()
+    names, seqs, seen = [], [], set()
+    for chrom, start in entries:
+        seq = genome[chrom][start - 1 : start - 1 + seq_len]
+        if len(seq) < seq_len or seq in seen:
+            continue
+        seen.add(seq)
+        names.append(f"{chrom}_{start}")
+        seqs.append(seq)
+    return SegmentStore(names=tuple(names), seqs=tuple(seqs))
+
+
+def synthetic_segment_store(
+    seed: int, seq_len: int, n_segments: int, chrom_len: int | None = None
+) -> SegmentStore:
+    """Hermetic segment source: one synthetic 'chromosome' per required
+    scale, sampled with the same contract as sample_segments."""
+    chrom_len = chrom_len or max(10 * seq_len, seq_len + 1000)
+    genome = {"chrS": synthetic_genome(seed, chrom_len)}
+    store = sample_segments(genome, seq_len, n_segments * 2, seed)
+    return SegmentStore(names=store.names[:n_segments], seqs=store.seqs[:n_segments])

@@ -1,0 +1,165 @@
+"""Read simulator and device breakage scorer vs spec."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from genomeassembler_dev_tpu.core.encoding import encode_dna
+from genomeassembler_dev_tpu.core.querytable import TOTAL, QueryTable, load_default_query_table
+from genomeassembler_dev_tpu.score.breakscore import breakscore
+from genomeassembler_dev_tpu.sim import reads as sim_reads
+from genomeassembler_dev_tpu.sim import segments as sim_segments
+from genomeassembler_dev_tpu.spec import reference_semantics as spec
+
+
+def rand_dna(rng, n):
+    return "".join(rng.choice(list("ACGT"), size=n))
+
+
+@pytest.fixture(scope="module")
+def table():
+    return load_default_query_table()
+
+
+class TestSegments:
+    def test_fasta_roundtrip(self, tmp_path):
+        seqs = {"a_1": "ACGTACGTACGT", "b_2": "TTTTGGGGCCCCAAAA"}
+        p = str(tmp_path / "x.fasta")
+        sim_segments.write_fasta(p, seqs, width=5)
+        assert sim_segments.read_fasta(p) == seqs
+
+    def test_sampling_contract(self):
+        genome = {"chr1": sim_segments.synthetic_genome(0, 5000),
+                  "chr2": sim_segments.synthetic_genome(1, 3000)}
+        store = sim_segments.sample_segments(genome, 200, 50, seed=1234)
+        assert 0 < len(store) <= 50
+        # names encode chrom_start; sequences match the genome slice
+        for name, seq in zip(store.names, store.seqs):
+            chrom, start = name.rsplit("_", 1)
+            start = int(start)
+            assert genome[chrom][start - 1 : start - 1 + 200] == seq
+        # deterministic
+        store2 = sim_segments.sample_segments(genome, 200, 50, seed=1234)
+        assert store.names == store2.names
+
+    def test_synthetic_store(self):
+        store = sim_segments.synthetic_segment_store(7, 300, 5)
+        assert len(store) == 5
+        assert all(len(s) == 300 for s in store.seqs)
+
+
+class TestReadSim:
+    def test_shapes_and_bounds(self, table):
+        g = sim_segments.synthetic_genome(3, 500)
+        codes = encode_dna(g)
+        rs = sim_reads.generate_reads(jax.random.key(0), codes, table, 12, 10.0)
+        n = sim_reads.n_draws_for(10.0, 500, 12)
+        assert rs.codes.shape == (n, 12)
+        pos = np.asarray(rs.positions)
+        valid = np.asarray(rs.valid)
+        assert ((pos >= 0) & (pos <= 500 - 8)).all()
+        assert ((pos[valid] + 12) <= 500).all()
+        # reads match the genome at their positions
+        for i in np.nonzero(valid)[0][:20]:
+            assert g[pos[i] : pos[i] + 12] == "".join("ACGT"[c] for c in np.asarray(rs.codes)[i])
+
+    def test_track_matches_table(self, table):
+        g = "ACGTACGTACGTACGT"
+        codes = jnp.asarray(encode_dna(g))
+        track = sim_reads.probability_track(codes, jnp.asarray(table.probs[8], jnp.float32), 8)
+        expect = [table.probs[8][spec.kmer_code(g[i : i + 8])] for i in range(len(g) - 7)]
+        np.testing.assert_allclose(np.asarray(track), expect, rtol=1e-6)
+
+    def test_weighting_bias(self, table):
+        # positions with zeroed probability are never drawn
+        g = sim_segments.synthetic_genome(4, 300)
+        codes = jnp.asarray(encode_dna(g))
+        probs = np.zeros(65536, np.float32)
+        # only allow the octamer at position 100
+        from genomeassembler_dev_tpu.core.encoding import kmer_code as kc
+
+        probs[kc(g[100:108])] = 1.0
+        rs = sim_reads.simulate_reads(jax.random.key(1), codes, jnp.asarray(probs), 12, 256)
+        drawn = set(np.asarray(rs.positions).tolist())
+        allowed = {i for i in range(293) if g[i : i + 8] == g[100:108]}
+        assert drawn <= allowed
+
+    def test_determinism(self, table):
+        g = sim_segments.synthetic_genome(5, 400)
+        codes = encode_dna(g)
+        a = sim_reads.generate_reads(jax.random.key(9), codes, table, 14, 5.0)
+        b = sim_reads.generate_reads(jax.random.key(9), codes, table, 14, 5.0)
+        np.testing.assert_array_equal(np.asarray(a.codes), np.asarray(b.codes))
+
+    def test_dedup_reads(self):
+        codes = np.array([[0, 1], [0, 1], [2, 3], [0, 1]], np.uint8)
+        valid = np.array([True, True, True, False])
+        uniq, counts = sim_reads.dedup_reads(codes, valid)
+        assert uniq.tolist() == [[0, 1], [2, 3]]
+        assert counts.tolist() == [2, 1]
+
+
+class TestBreakscoreDevice:
+    @pytest.mark.parametrize("seed", [0, 1, 2])
+    def test_vs_spec(self, seed, table):
+        rng = np.random.default_rng(seed)
+        true_g = rand_dna(rng, 120)
+        # solutions: substrings + mutated variants
+        sols = [true_g,
+                true_g[10:90],
+                rand_dna(rng, 60),
+                true_g[:40] + rand_dna(rng, 10)]
+        read_len = 12
+        reads = []
+        for _ in range(60):
+            src = sols[int(rng.integers(0, len(sols)))]
+            st = int(rng.integers(0, len(src) - read_len + 1))
+            reads.append(src[st : st + read_len])
+        reads += reads[:10]  # duplicates
+
+        expect = spec.calc_breakscore(sols, reads, true_g, 8, table)
+
+        L = max(len(s) for s in sols)
+        pmat = np.full((len(sols), L), 255, np.uint8)
+        plen = np.array([len(s) for s in sols], np.int32)
+        for i, s in enumerate(sols):
+            pmat[i, : len(s)] = encode_dna(s)
+        from genomeassembler_dev_tpu.sim.reads import dedup_reads
+
+        rcodes = np.stack([encode_dna(r) for r in reads])
+        uniq, counts = dedup_reads(rcodes, np.ones(len(reads), bool))
+        out = breakscore(
+            jnp.asarray(pmat), jnp.asarray(plen), jnp.asarray(uniq),
+            jnp.asarray(counts), jnp.ones(len(uniq), bool),
+            jnp.asarray(table.combined, jnp.float32),
+        )
+        np.testing.assert_array_equal(np.asarray(out.kmer_breaks), expect["kmer_breaks"])
+        np.testing.assert_allclose(np.asarray(out.bp_score), expect["bp_score"], rtol=2e-5)
+        np.testing.assert_allclose(
+            np.asarray(out.bp_score_norm_by_break_freqs),
+            expect["bp_score_norm_by_break_freqs"], rtol=2e-5,
+        )
+        np.testing.assert_allclose(
+            np.asarray(out.bp_score_norm_by_len), expect["bp_score_norm_by_len"], rtol=2e-5
+        )
+        pf = np.asarray(out.path_freq)
+        for i in range(len(sols)):
+            if expect["kmer_breaks"][i] == 0:
+                assert np.isnan(pf[i]).all()
+            else:
+                np.testing.assert_allclose(pf[i], expect["path_freq"][i], atol=1e-6)
+
+    def test_uniform_table(self, table):
+        # with the uniform table, bp_score = total_breaks / TOTAL
+        rng = np.random.default_rng(3)
+        g = rand_dna(rng, 80)
+        reads = [g[i : i + 12] for i in (0, 5, 40)]
+        uniq = np.stack([encode_dna(r) for r in reads])
+        pmat = jnp.asarray(encode_dna(g))[None, :]
+        out = breakscore(
+            pmat, jnp.asarray([80], np.int32), jnp.asarray(uniq),
+            jnp.asarray([1, 1, 1], np.int32), jnp.ones(3, bool),
+            jnp.asarray(QueryTable.uniform().combined, jnp.float32),
+        )
+        assert np.isclose(float(out.bp_score[0]), 3 / TOTAL, rtol=1e-5)
