@@ -1,0 +1,219 @@
+"""Per-experiment orchestrator: the TPU-native run_assembler.
+
+Mirrors the reference driver (lib/DeNovoAssembler.R:51-91): simulate reads ->
+assemble -> score against the true and the uniform ("random") probability
+tables -> join into one results table. Two deliberate efficiency divergences,
+both output-preserving:
+
+  * the reference recomputes get_contigs + assemble_contigs + the full
+    read-matching pass twice, once per probability table
+    (lib/DeNovoAssembler.R:325-355) — but assembly and matching do not depend
+    on the table at all, so here the break-count matrix is computed once and
+    both score families are two dot products against it;
+  * consequently path_freq (and hence the KS statistic) is identical between
+    the true and random passes — which is also true of the reference's
+    outputs, since observed break frequencies never involve the table.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from genomeassembler_dev_tpu.core.encoding import INVALID, encode_dna
+from genomeassembler_dev_tpu.core.querytable import QueryTable, load_default_query_table
+from genomeassembler_dev_tpu.dbg.assemble import contigs_from_read_codes
+from genomeassembler_dev_tpu.merge.engine import assemble_solutions
+from genomeassembler_dev_tpu.ops.edit_distance import batched_levenshtein
+from genomeassembler_dev_tpu.ops.histogram import count_kmers
+from genomeassembler_dev_tpu.ops.ks import batched_ks_2samp
+from genomeassembler_dev_tpu.ops.windows import kmer_window_codes
+from genomeassembler_dev_tpu.pipeline.config import ExperimentConfig
+from genomeassembler_dev_tpu.score.breakscore import breakscore
+from genomeassembler_dev_tpu.sim.reads import dedup_reads, generate_reads
+from genomeassembler_dev_tpu.utils.timers import StageTimer
+
+RESULT_COLUMNS = [
+    "sequence",
+    "sequence_len",
+    "bp_score_true",
+    "bp_score_norm_by_break_freqs_true",
+    "bp_score_norm_by_len_true",
+    "kmer_breaks",
+    "lev_dist_vs_true",
+    "stat_test_KS_true",
+    "contig_frac_len",
+    "bp_score_random",
+    "bp_score_norm_by_break_freqs_random",
+    "bp_score_norm_by_len_random",
+    "stat_test_KS_random",
+]
+
+
+@dataclass
+class ExperimentResult:
+    """One experiment's outputs: the joined solutions table (column order of
+    the reference's inner join, lib/DeNovoAssembler.R:463-472) plus the
+    dbg_summary stats (GenerateReads.R:218-223,381-385,461)."""
+
+    columns: dict[str, np.ndarray | list]
+    stats: dict
+    timings: dict[str, float]
+
+    @property
+    def n_solutions(self) -> int:
+        return len(self.columns["sequence"])
+
+
+def pack_strings(strings: list[str], pad: int = INVALID):
+    """[S] strings -> ([S, Lmax] uint8 codes, [S] int32 lens)."""
+    if not strings:
+        return np.zeros((0, 1), np.uint8), np.zeros(0, np.int32)
+    L = max(len(s) for s in strings)
+    mat = np.full((len(strings), L), pad, np.uint8)
+    lens = np.zeros(len(strings), np.int32)
+    for i, s in enumerate(strings):
+        mat[i, : len(s)] = encode_dna(s)
+        lens[i] = len(s)
+    return mat, lens
+
+
+class Assembler:
+    """Drives experiments over segments. Stateless across experiments apart
+    from the loaded QueryTable."""
+
+    def __init__(self, config: ExperimentConfig, table: QueryTable | None = None,
+                 verbose: bool = False):
+        self.config = config
+        self.table = table if table is not None else load_default_query_table()
+        self.uniform = QueryTable.uniform()
+        self.verbose = verbose
+
+    # -- stages -------------------------------------------------------------
+
+    def simulate(self, genome_codes: np.ndarray, timer: StageTimer):
+        cfg = self.config
+        with timer.stage("Generating sequencing reads"):
+            # the reference reseeds identically before every experiment
+            # (scripts/02_…:37), so every experiment uses the same key here
+            rs = generate_reads(
+                jax.random.key(cfg.seed), genome_codes, self.table,
+                cfg.read_len, cfg.coverage_target, cfg.kmer,
+            )
+            jax.block_until_ready(rs.codes)
+        return rs
+
+    def contigs(self, read_codes, read_valid, timer: StageTimer) -> list[str]:
+        cfg = self.config
+        with timer.stage("Running DBG de novo genome assembler"):
+            return contigs_from_read_codes(
+                np.asarray(read_codes), np.asarray(read_valid),
+                cfg.dbg_kmer, cfg.contig_cap,
+            )
+
+    def merge(self, contigs: list[str], timer: StageTimer) -> list[str]:
+        cfg = self.config
+        with timer.stage("Merging shuffled contig orderings"):
+            return assemble_solutions(
+                contigs, cfg.dbg_kmer, cfg.seed, cfg.n_orderings,
+                backend=cfg.merge_backend,
+            )
+
+    def score(self, solutions: list[str], rs, genome_codes: np.ndarray,
+              timer: StageTimer) -> dict[str, np.ndarray | list]:
+        cfg = self.config
+        with timer.stage("Evaluating each de novo assembled solution"):
+            pmat, plens = pack_strings(solutions)
+            uniq, counts = dedup_reads(np.asarray(rs.codes), np.asarray(rs.valid))
+            bs = breakscore(
+                jnp.asarray(pmat), jnp.asarray(plens), jnp.asarray(uniq),
+                jnp.asarray(counts), jnp.ones(len(uniq), bool),
+                jnp.asarray(self.table.combined, jnp.float32),
+                break_kmer=cfg.kmer, read_chunk=cfg.read_chunk,
+            )
+            # random pass: same break counts, uniform probabilities
+            # (the reference recomputes everything; outputs are identical)
+            uni = jnp.asarray(self.uniform.combined, jnp.float32)
+            site_counts = bs.site_counts
+            total = jnp.maximum(bs.kmer_breaks.astype(jnp.float32), 1.0)
+            bp_rand = site_counts @ uni
+            bp_rand_norm_breaks = jnp.where(
+                bs.kmer_breaks > 0, (site_counts / total[:, None]) @ uni, 0.0
+            )
+            bp_rand_norm_len = bp_rand / jnp.maximum(plens.astype(jnp.float32), 1.0)
+
+            lev = batched_levenshtein(
+                jnp.asarray(pmat), jnp.asarray(plens),
+                jnp.asarray(genome_codes), mode="NW",
+            )
+            ks = batched_ks_2samp(bs.path_freq, rs.track)
+
+            # own-path coverage fraction: all startpos are 0
+            # (lib/DeNovoAssembler.R:363-364,431-445), so covered fraction is
+            # max solution length / seq_len, capped at 100%.
+            max_len = int(plens.max()) if len(solutions) else 0
+            contig_frac = min(100.0, 100.0 * max_len / cfg.seq_len)
+
+            # row order: true-table bp_score descending, stable
+            # (data.table setorder; lib/DeNovoAssembler.R:359)
+            order = np.argsort(-np.asarray(bs.bp_score), kind="stable")
+            ksv = np.asarray(ks)
+            cols = {
+                "sequence": [solutions[i] for i in order],
+                "sequence_len": plens[order],
+                "bp_score_true": np.asarray(bs.bp_score)[order],
+                "bp_score_norm_by_break_freqs_true": np.asarray(bs.bp_score_norm_by_break_freqs)[order],
+                "bp_score_norm_by_len_true": np.asarray(bs.bp_score_norm_by_len)[order],
+                "kmer_breaks": np.asarray(bs.kmer_breaks)[order],
+                "lev_dist_vs_true": np.asarray(lev)[order],
+                "stat_test_KS_true": ksv[order],
+                "contig_frac_len": np.full(len(solutions), contig_frac),
+                "bp_score_random": np.asarray(bp_rand)[order],
+                "bp_score_norm_by_break_freqs_random": np.asarray(bp_rand_norm_breaks)[order],
+                "bp_score_norm_by_len_random": np.asarray(bp_rand_norm_len)[order],
+                "stat_test_KS_random": ksv[order],
+            }
+        return cols
+
+    def count_only(self, rs, timer: StageTimer) -> dict[str, np.ndarray]:
+        """The only_kmers_from_reads path (lib/DeNovoAssembler.R:135-168):
+        count breakage-k-mers across reads and join with the probability
+        table -> {kmer codes order}, prob, count."""
+        cfg = self.config
+        with timer.stage("Extracting k-mers from sequencing reads"):
+            codes, valid = kmer_window_codes(jnp.asarray(rs.codes), cfg.kmer)
+            valid = valid & jnp.asarray(rs.valid)[:, None]
+            counts = count_kmers(codes, valid, 4**cfg.kmer)
+            return {
+                "prob": np.asarray(self.table.probs[cfg.kmer]),
+                "count": np.asarray(counts),
+            }
+
+    # -- full experiment ----------------------------------------------------
+
+    def run_experiment(self, segment: str) -> ExperimentResult:
+        cfg = self.config
+        timer = StageTimer(self.verbose)
+        genome_codes = encode_dna(segment)
+        rs = self.simulate(genome_codes, timer)
+
+        n_reads = int(np.asarray(rs.valid).sum())
+        acgt = np.bincount(genome_codes[genome_codes <= 3], minlength=4)
+        stats = {
+            "base_composition": (acgt / len(segment)).tolist(),
+            "coverage": round(n_reads * cfg.read_len / cfg.seq_len, 3),
+            "nr_of_reads": n_reads,
+            "genome_seq": segment,
+        }
+
+        if cfg.only_kmers_from_reads:
+            cols = self.count_only(rs, timer)
+            return ExperimentResult(columns=cols, stats=stats, timings=timer.times)
+
+        contigs = self.contigs(rs.codes, rs.valid, timer)
+        solutions = self.merge(contigs, timer)
+        cols = self.score(solutions, rs, genome_codes, timer)
+        return ExperimentResult(columns=cols, stats=stats, timings=timer.times)

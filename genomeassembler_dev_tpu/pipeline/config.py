@@ -1,0 +1,56 @@
+"""Experiment configuration.
+
+One dataclass holding exactly the knobs the reference spreads across
+constructor defaults and script constants (GenerateReads.R:20-41,
+DeNovoAssembler.R:26-44, scripts/02_Real_vs_rand_prob_own.R:21-31).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field, replace
+
+
+@dataclass(frozen=True)
+class ExperimentConfig:
+    seq_len: int = 1000
+    read_len: int = 100  # reference default; studies use 12..40
+    coverage_target: float = 10.0  # studies use 40
+    kmer: int = 8  # breakage k-mer ("break_kmer")
+    dbg_kmer: int = 9
+    seed: int = 1234
+    industry_standard: bool = False
+    only_kmers_from_reads: bool = False
+    save_read_files: bool = True
+    action: str = "ratio"  # reference declares but never uses "zscore"
+    n_orderings: int = 10000  # 20000 on the industry-standard path
+    merge_backend: str = "auto"  # native | spec | device | auto
+    read_chunk: int = 512
+    max_contig_len: int | None = None  # default: 2 * seq_len
+
+    # grid used by the own-dBG study (scripts/02_…:28-31)
+    OWN_STUDY_GRID = (
+        (12, 9), (14, 9), (16, 13), (18, 15), (20, 15), (25, 15), (40, 15),
+    )
+    # grid used by the velvet study (scripts/00_…:27-30)
+    VELVET_STUDY_GRID = (
+        (12, 11), (14, 13), (16, 13), (18, 15), (20, 17), (25, 19), (40, 37),
+    )
+
+    def with_(self, **kw) -> "ExperimentConfig":
+        return replace(self, **kw)
+
+    @property
+    def contig_cap(self) -> int:
+        return self.max_contig_len or 2 * self.seq_len
+
+    def param_string(self) -> str:
+        """The reference's artifact parameter string
+        (lib/DeNovoAssembler.R:280-308)."""
+        return (
+            f"_SeqLen-{self.seq_len}"
+            f"_SeqSeed-{self.seed}"
+            f"_ReadLen-{self.read_len}"
+            f"_DBGKmer-{self.dbg_kmer}"
+            f"_kmer-{self.kmer}"
+            f"_IndustryModel-{self.industry_standard}"
+        )
