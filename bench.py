@@ -1,0 +1,149 @@
+#!/usr/bin/env python
+"""Headline benchmark: reads/s per chip for k-mer counting + dBG build.
+
+Workload (BASELINE.md): per segment, extract dbg_kmer-mers from all reads,
+build the de Bruijn graph (edges, degrees, branch nodes), walk all contigs
+(pointer-doubling traversal), and count breakage octamers — one fused jit
+over a batch of segments on one chip.
+
+Baseline: the same pipeline in single-threaded C++ (native/gadev.cpp:
+hash-map dBG + rolling k-mer counter), the shape of implementation the
+reference uses (lib/DeNovoAssembler.cpp).
+
+Prints ONE JSON line to stdout:
+  {"metric": ..., "value": reads/s (TPU), "unit": "reads/s",
+   "vs_baseline": tpu_reads_per_s / cpp_single_core_reads_per_s}
+All diagnostics go to stderr.
+"""
+
+from __future__ import annotations
+
+import json
+import statistics
+import sys
+import time
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from genomeassembler_dev_tpu.core.encoding import encode_dna
+    from genomeassembler_dev_tpu.core.querytable import load_default_query_table
+    from genomeassembler_dev_tpu.dbg.dense import contigs_dense
+    from genomeassembler_dev_tpu.merge import native
+    from genomeassembler_dev_tpu.ops.mxu import count_kmers_mxu
+    from genomeassembler_dev_tpu.ops.windows import kmer_window_codes
+    from genomeassembler_dev_tpu.sim.reads import n_draws_for, simulate_reads
+    from genomeassembler_dev_tpu.sim.segments import synthetic_genome
+
+    dev = jax.devices()[0]
+    log(f"device: {dev.platform} {dev}")
+
+    B = 256  # segments per batch
+    SEQ_LEN, READ_LEN, COV, DBG_K = 1000, 12, 40.0, 9
+    MAX_WALKS, MAX_LEN = 256, SEQ_LEN + DBG_K
+    N_DRAWS = n_draws_for(COV, SEQ_LEN, READ_LEN)
+
+    table = load_default_query_table()
+    probs8 = jnp.asarray(table.probs[8], jnp.float32)
+
+    # --- inputs: simulated read sets for B segments (one batched jit) -------
+    log("simulating reads...")
+    genomes = jnp.asarray(
+        np.stack([encode_dna(synthetic_genome(i, SEQ_LEN)) for i in range(B)])
+    )
+    keys = jax.random.split(jax.random.key(0), B)
+    sim = jax.jit(
+        jax.vmap(lambda k, g: simulate_reads(k, g, probs8, READ_LEN, N_DRAWS))
+    )
+    rs = sim(keys, genomes)
+    read_codes = rs.codes  # [B, N, R]
+    read_valid = rs.valid  # [B, N]
+    jax.block_until_ready(read_codes)
+    n_reads_total = int(np.asarray(read_valid).sum())
+    log(f"{n_reads_total} reads total ({B} segments x ~{n_reads_total // B})")
+
+    # --- TPU step: fused dense dBG + walk + octamer count -------------------
+    def per_segment(codes, valid):
+        kc, kv = kmer_window_codes(codes, DBG_K)
+        kv = kv & valid[:, None]
+        buf, lens, wvalid, overflow, n_walks, n_nodes = contigs_dense(
+            kc, kv, DBG_K, MAX_LEN, MAX_WALKS
+        )
+        oc, ocv = kmer_window_codes(codes, 8)
+        ocv = ocv & valid[:, None]
+        counts8 = count_kmers_mxu(oc.reshape(-1), ocv.reshape(-1), 8)
+        return (
+            jnp.where(wvalid, lens, 0).sum(),
+            n_walks,
+            counts8.sum(),
+        )
+
+    step = jax.jit(jax.vmap(per_segment))
+
+    log("compiling...")
+    out = step(read_codes, read_valid)
+    jax.block_until_ready(out)
+    log(f"sanity: walks/segment ~{int(np.asarray(out[1]).mean())}, "
+        f"contig chars/segment ~{int(np.asarray(out[0]).mean())}")
+    assert (np.asarray(out[1]) <= MAX_WALKS).all(), "walk capacity exceeded"
+
+    # correctness spot check: segment 0 contigs must match the native engine
+    from genomeassembler_dev_tpu.dbg.assemble import contigs_from_read_codes
+
+    codes0 = np.asarray(read_codes[0])
+    valid0 = np.asarray(read_valid[0])
+    if native.available():
+        tpu_contigs = contigs_from_read_codes(codes0, valid0, DBG_K, MAX_LEN)
+        reads0 = ["".join("ACGT"[c] for c in row)
+                  for row, ok in zip(codes0, valid0) if ok]
+        cpp_contigs = native.contigs_from_reads_native(reads0, DBG_K)
+        assert tpu_contigs == cpp_contigs, "TPU contigs != native contigs"
+        log(f"correctness: {len(tpu_contigs)} contigs match native engine")
+
+    times = []
+    for _ in range(7):
+        t0 = time.perf_counter()
+        jax.block_until_ready(step(read_codes, read_valid))
+        times.append(time.perf_counter() - t0)
+    t_tpu = statistics.median(times)
+    tpu_rps = n_reads_total / t_tpu
+    log(f"tpu: {t_tpu * 1e3:.2f} ms/batch -> {tpu_rps:,.0f} reads/s")
+
+    # --- single-core C++ baseline ------------------------------------------
+    vs_baseline = float("nan")
+    if native.available():
+        codes_np = np.asarray(read_codes)
+        valid_np = np.asarray(read_valid)
+        reads_by_seg = [
+            ["".join("ACGT"[c] for c in row) for row, ok in zip(cs, vs) if ok]
+            for cs, vs in zip(codes_np, valid_np)
+        ]
+        t0 = time.perf_counter()
+        for reads in reads_by_seg:
+            native.count_kmers_native(reads, 8)
+            native.contigs_from_reads_native(reads, DBG_K)
+        t_cpp = time.perf_counter() - t0
+        cpp_rps = n_reads_total / t_cpp
+        log(f"cpp 1-core: {t_cpp * 1e3:.1f} ms -> {cpp_rps:,.0f} reads/s")
+        vs_baseline = tpu_rps / cpp_rps
+    else:
+        log("native engine unavailable; vs_baseline = NaN")
+
+    print(json.dumps({
+        "metric": "reads_per_sec_kmer_count_plus_dbg_build",
+        "value": round(tpu_rps, 1),
+        "unit": "reads/s",
+        "vs_baseline": round(vs_baseline, 3) if vs_baseline == vs_baseline else None,
+    }))
+
+
+if __name__ == "__main__":
+    main()

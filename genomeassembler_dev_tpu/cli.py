@@ -1,0 +1,126 @@
+"""Command-line interface mirroring the reference's experiment scripts.
+
+  python -m genomeassembler_dev_tpu.cli run        # one experiment
+  python -m genomeassembler_dev_tpu.cli study-own  # scripts/02 (grid x iters)
+  python -m genomeassembler_dev_tpu.cli study-kmer-count  # scripts/01
+  python -m genomeassembler_dev_tpu.cli study-gc   # scripts/03
+
+Segments come from --segments-fasta (the reference's SampledRefGenome
+contract) or a seeded synthetic store (--synthetic).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _add_common(p):
+    p.add_argument("--workdir", default="./workdir")
+    p.add_argument("--seq-len", type=int, default=1000)
+    p.add_argument("--read-len", type=int, default=12)
+    p.add_argument("--dbg-kmer", type=int, default=9)
+    p.add_argument("--kmer", type=int, default=8)
+    p.add_argument("--coverage", type=float, default=40.0)
+    p.add_argument("--seed", type=int, default=1234)
+    p.add_argument("--n-orderings", type=int, default=10000)
+    p.add_argument("--segments-fasta", default=None)
+    p.add_argument("--synthetic", action="store_true",
+                   help="use a seeded synthetic segment store")
+    p.add_argument("--total-iters", type=int, default=10)
+    p.add_argument("--verbose", action="store_true")
+
+
+def _segments(args):
+    from genomeassembler_dev_tpu.sim.segments import SegmentStore, synthetic_segment_store
+
+    if args.segments_fasta:
+        return SegmentStore.load(args.segments_fasta)
+    return synthetic_segment_store(args.seed, args.seq_len, args.total_iters)
+
+
+def _config(args, **over):
+    from genomeassembler_dev_tpu.pipeline.config import ExperimentConfig
+
+    return ExperimentConfig(
+        seq_len=args.seq_len, read_len=args.read_len, dbg_kmer=args.dbg_kmer,
+        kmer=args.kmer, coverage_target=args.coverage, seed=args.seed,
+        n_orderings=args.n_orderings,
+    ).with_(**over)
+
+
+def cmd_run(args):
+    from genomeassembler_dev_tpu.pipeline.assembler import Assembler
+    from genomeassembler_dev_tpu.pipeline import results as res_io
+
+    segs = _segments(args)
+    cfg = _config(args)
+    asm = Assembler(cfg, verbose=args.verbose)
+    ind = args.ind
+    res = asm.run_experiment(segs.seqs[ind - 1])
+    path = res_io.save_result(args.workdir, ind, cfg, res)
+    print(json.dumps({"solutions": res.n_solutions, "csv": path,
+                      "stats": {k: v for k, v in res.stats.items() if k != "genome_seq"}}))
+
+
+def cmd_study_own(args):
+    from genomeassembler_dev_tpu.pipeline.experiments import run_own_study
+
+    segs = _segments(args)
+    grid = None
+    if args.grid:
+        grid = tuple(tuple(int(x) for x in pair.split(":")) for pair in args.grid.split(","))
+    rep = run_own_study(
+        args.workdir, segs, base=_config(args), grid=grid,
+        total_iters=args.total_iters, verbose=args.verbose,
+    )
+    print(json.dumps({"summary": rep.summary_path, "all": rep.all_path,
+                      "ran": rep.n_experiments, "skipped": rep.n_skipped}))
+
+
+def cmd_study_kmer_count(args):
+    from genomeassembler_dev_tpu.pipeline.experiments import run_kmer_count_study
+
+    segs = _segments(args)
+    r2 = run_kmer_count_study(args.workdir, segs.seqs[0], base=_config(args))
+    print(json.dumps({"r_squared": {str(k): v for k, v in r2.items()}}))
+
+
+def cmd_study_gc(args):
+    from genomeassembler_dev_tpu.pipeline.experiments import run_gc_study
+
+    segs = _segments(args)
+    out = run_gc_study(args.workdir, segs, _config(args), args.total_iters)
+    print(json.dumps({"csv": out}))
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="genomeassembler_dev_tpu")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("run", help="run one experiment")
+    _add_common(p)
+    p.add_argument("--ind", type=int, default=1, help="experiment index (1-based)")
+    p.set_defaults(fn=cmd_run)
+
+    p = sub.add_parser("study-own", help="own-dBG study grid (scripts/02)")
+    _add_common(p)
+    p.add_argument("--grid", default=None,
+                   help="comma list of read_len:dbg_kmer pairs, e.g. 12:9,14:9")
+    p.set_defaults(fn=cmd_study_own)
+
+    p = sub.add_parser("study-kmer-count", help="k-mer count vs prob (scripts/01)")
+    _add_common(p)
+    p.set_defaults(fn=cmd_study_kmer_count)
+
+    p = sub.add_parser("study-gc", help="GC dependency (scripts/03)")
+    _add_common(p)
+    p.set_defaults(fn=cmd_study_gc)
+
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,8 +1,10 @@
 """Host glue: reads -> device dBG -> canonical contig set.
 
-The device produces fixed-capacity walk buffers; this module compacts them to
-the canonical (sorted, deduplicated) contig list that the merge stage and the
-reference semantics operate on (ref: lib/DeNovoAssembler.cpp:192).
+Chooses the dense direct-indexed graph (no sorts; k <= DENSE_MAX_K) or the
+sparse sorted-unique graph, walks contigs by pointer doubling, and compacts
+the fixed-capacity buffers to the canonical (sorted, deduplicated) contig
+list that the merge stage and the reference semantics operate on
+(ref: lib/DeNovoAssembler.cpp:192).
 """
 
 from __future__ import annotations
@@ -11,26 +13,49 @@ import numpy as np
 import jax.numpy as jnp
 
 from genomeassembler_dev_tpu.core.encoding import decode_dna
-from genomeassembler_dev_tpu.dbg.graph import build_dbg
-from genomeassembler_dev_tpu.dbg.traverse import walk_contigs
+from genomeassembler_dev_tpu.dbg.dense import contigs_dense
+from genomeassembler_dev_tpu.dbg.graph import contigs_sparse
 from genomeassembler_dev_tpu.ops.windows import kmer_window_codes
+from genomeassembler_dev_tpu.utils.compat import flaky_backend_retry
+
+# 4^10 = 1M presence bins per segment; beyond this the sparse path wins
+DENSE_MAX_K = 10
 
 
+@flaky_backend_retry
 def contigs_from_read_codes(
     read_codes: np.ndarray,  # [N, R] base codes
     read_valid: np.ndarray,  # [N] bool
     dbg_kmer: int,
     max_contig_len: int,
+    max_walks: int | None = None,
 ) -> list[str]:
-    """Canonical contig set from packed reads. Raises if any walk overflows
-    max_contig_len (caller should retry with a larger cap)."""
+    """Canonical contig set from packed reads. Raises if a walk overflows
+    max_contig_len or the walk capacity (caller retries with larger caps)."""
     codes = jnp.asarray(read_codes)
     kcodes, kvalid = kmer_window_codes(codes, dbg_kmer)
     kvalid = kvalid & jnp.asarray(read_valid)[:, None]
-    g = build_dbg(kcodes.reshape(-1), kvalid.reshape(-1), dbg_kmer)
-    buf, lens, walk_valid, overflow = walk_contigs(g, max_contig_len)
+    if max_walks is None:
+        max_walks = int(kcodes.size)
+    if dbg_kmer <= DENSE_MAX_K:
+        node_cap = 1024
+        while True:
+            out = contigs_dense(kcodes, kvalid, dbg_kmer, max_contig_len,
+                                max_walks, node_cap)
+            if int(out[5]) <= node_cap:
+                break
+            node_cap = 1 << int(out[5] - 1).bit_length()  # retry, larger cap
+        buf, lens, valid, overflow, n_total, _ = out
+    else:
+        buf, lens, valid, overflow, n_total, _ = contigs_sparse(
+            kcodes, kvalid, dbg_kmer, max_contig_len, max_walks
+        )
+    if int(n_total) > max_walks:
+        raise ValueError(
+            f"{int(n_total)} walks exceed capacity {max_walks}; raise max_walks"
+        )
     return dedup_contigs(
-        np.asarray(buf), np.asarray(lens), np.asarray(walk_valid), np.asarray(overflow)
+        np.asarray(buf), np.asarray(lens), np.asarray(valid), np.asarray(overflow)
     )
 
 
@@ -38,9 +63,7 @@ def dedup_contigs(
     buf: np.ndarray, lens: np.ndarray, walk_valid: np.ndarray, overflow: np.ndarray
 ) -> list[str]:
     if (overflow & walk_valid).any():
-        raise ValueError(
-            "contig walk overflowed max_contig_len; increase the cap"
-        )
+        raise ValueError("contig walk overflowed max_contig_len; increase the cap")
     out = set()
     for row, ln, ok in zip(buf, lens, walk_valid):
         if ok:

@@ -1,0 +1,104 @@
+"""Contig traversal by pointer doubling (parallel list ranking).
+
+The reference's walk is an O(chain length) sequential loop per contig
+(lib/DeNovoAssembler.cpp:171-189); the while_loop port of it (traverse.py)
+pays one device step per character. This module replaces it with the classic
+parallel formulation — O(log max_len) vectorised steps total:
+
+  * every interior node of a unitig chain has exactly one successor and one
+    predecessor (in = out = 1; anything else is a branch/terminal), so chains
+    are disjoint linked lists;
+  * downstream doubling of (next, dist) gives every node its chain terminal
+    and distance to it;
+  * upstream doubling of (uptr, uoff) gives every interior node its chain
+    head and offset — the head's walk id is scattered from the walk list;
+  * the contig characters are then written with THREE scatters: prefix chars,
+    one scatter of all interior-node characters to (walk, k-1+offset), and
+    the terminal character at (walk, k-1+dist).
+
+Works over any node-indexed graph arrays, so the dense (direct-indexed) and
+sparse (sorted-unique) builders share it.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+PAD = jnp.uint8(255)
+
+
+@partial(jax.jit, static_argnames=("k", "max_len"))
+def walk_contigs_doubling(
+    node_char: jnp.ndarray,  # [V] uint8 last base of each node
+    succ: jnp.ndarray,  # [V] int32 successor node index (-1 if out != 1)
+    pred: jnp.ndarray,  # [V] int32 predecessor node index (-1 if in != 1)
+    branch: jnp.ndarray,  # [V] bool
+    out_deg: jnp.ndarray,  # [V] int32
+    walk_start: jnp.ndarray,  # [W] int32 node index (edge suffix), -1 invalid
+    walk_prefix: jnp.ndarray,  # [W] int32 (k-1)-mer code of the branch prefix
+    walk_valid: jnp.ndarray,  # [W] bool
+    k: int,
+    max_len: int,
+):
+    """Returns (buf [W, max_len] uint8, lens [W] int32, overflow [W] bool)."""
+    V = node_char.shape[0]
+    W = walk_start.shape[0]
+    self_idx = jnp.arange(V, dtype=jnp.int32)
+
+    terminal = branch | (out_deg == 0)
+
+    # --- downstream doubling: terminal + distance --------------------------
+    nxt = jnp.where(terminal | (succ < 0), self_idx, succ)
+    dist = jnp.where(terminal, 0, 1).astype(jnp.int32)
+    n_iters = max(1, (max_len).bit_length())
+    for _ in range(n_iters):
+        dist = dist + dist[nxt]
+        nxt = nxt[nxt]
+
+    # --- upstream doubling: head + offset for interior nodes ---------------
+    interior = ~terminal  # interior nodes have in==1 and a valid pred
+    has_pred = pred >= 0
+    head = interior & (~has_pred | terminal[jnp.maximum(pred, 0)])
+    uptr = jnp.where(interior & ~head & has_pred, jnp.maximum(pred, 0), self_idx)
+    uoff = jnp.where(interior & ~head & has_pred, 1, 0).astype(jnp.int32)
+    for _ in range(n_iters):
+        uoff = uoff + uoff[uptr]
+        uptr = uptr[uptr]
+
+    # --- walk ids at heads --------------------------------------------------
+    start_c = jnp.where(walk_valid, walk_start, V)
+    start_nonterm = walk_valid & ~terminal[jnp.minimum(walk_start, V - 1)]
+    head_walk = jnp.full(V, -1, jnp.int32).at[
+        jnp.where(start_nonterm, start_c, V)
+    ].set(jnp.arange(W, dtype=jnp.int32), mode="drop")
+
+    # --- assemble buffers ---------------------------------------------------
+    buf = jnp.full((W, max_len), PAD)
+
+    # prefix characters (first k-1 columns)
+    cols = jnp.arange(k - 1, dtype=jnp.int32)
+    shifts = 2 * (k - 2 - cols)
+    prefix_chars = ((walk_prefix[:, None] >> shifts[None, :]) & 3).astype(jnp.uint8)
+    buf = buf.at[:, : k - 1].set(jnp.where(walk_valid[:, None], prefix_chars, PAD))
+
+    # interior characters: one scatter over all nodes
+    wid = head_walk[uptr]  # [V] walk id (or -1)
+    node_ok = interior & (wid >= 0)
+    rows = jnp.where(node_ok, wid, W)
+    poss = jnp.minimum(k - 1 + uoff, max_len - 1)
+    buf = buf.at[rows, poss].set(node_char, mode="drop")
+
+    # terminal characters + lengths
+    s_clamped = jnp.minimum(jnp.maximum(walk_start, 0), V - 1)
+    term_node = nxt[s_clamped]
+    d = jnp.where(terminal[s_clamped], 0, dist[s_clamped])
+    lens = jnp.where(walk_valid, k + d, 0).astype(jnp.int32)
+    overflow = walk_valid & (lens > max_len)
+    tpos = jnp.minimum(k - 1 + d, max_len - 1)
+    trow = jnp.where(walk_valid, jnp.arange(W, dtype=jnp.int32), W)
+    buf = buf.at[trow, tpos].set(node_char[term_node], mode="drop")
+
+    return buf, lens, overflow

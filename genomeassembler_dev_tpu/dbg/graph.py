@@ -31,7 +31,7 @@ SENTINEL = jnp.int32(2**31 - 1)
     jax.tree_util.register_dataclass,
     data_fields=[
         "edges", "edge_valid", "nodes", "node_valid",
-        "in_deg", "out_deg", "branch", "succ", "n_edges", "n_nodes",
+        "in_deg", "out_deg", "branch", "succ", "pred", "n_edges", "n_nodes",
     ],
     meta_fields=["k"],
 )
@@ -49,6 +49,7 @@ class DBG:
     out_deg: jnp.ndarray  # [V] int32
     branch: jnp.ndarray  # [V] bool
     succ: jnp.ndarray  # [V] int32 node index of unique successor, -1 otherwise
+    pred: jnp.ndarray  # [V] int32 node index of unique predecessor, -1 otherwise
     n_edges: jnp.ndarray  # scalar int32
     n_nodes: jnp.ndarray  # scalar int32
 
@@ -103,6 +104,11 @@ def build_dbg(kmer_codes: jnp.ndarray, kmer_valid: jnp.ndarray, k: int) -> DBG:
     # force them to -1 explicitly:
     succ = jnp.where(out_deg == 1, succ, -1)
 
+    single_in = in_deg.at[jnp.minimum(s_idx, V - 1)].get() == 1
+    pred_val = jnp.where(single_in & edge_valid, p_idx, -1)
+    pred = jnp.full(V, -1, jnp.int32).at[s_idx].set(pred_val, mode="drop")
+    pred = jnp.where(in_deg == 1, pred, -1)
+
     return DBG(
         k=k,
         edges=edges,
@@ -113,6 +119,42 @@ def build_dbg(kmer_codes: jnp.ndarray, kmer_valid: jnp.ndarray, k: int) -> DBG:
         out_deg=out_deg,
         branch=branch,
         succ=succ,
+        pred=pred,
         n_edges=n_edges.astype(jnp.int32),
         n_nodes=n_nodes.astype(jnp.int32),
     )
+
+
+@partial(jax.jit, static_argnames=("max_walks",))
+def walk_starts_sparse(g: DBG, max_walks: int):
+    """Edges whose prefix node branches, compacted to [max_walks]. Returns
+    (start_node_idx, prefix_codes, valid, n_walks_total)."""
+    V = g.nodes.shape[0]
+    km1_mask = jnp.int32((1 << (2 * (g.k - 1))) - 1)
+    prefix = g.edges >> 2
+    suffix = g.edges & km1_mask
+    p_idx = jnp.minimum(jnp.searchsorted(g.nodes, prefix), V - 1).astype(jnp.int32)
+    s_idx = jnp.minimum(jnp.searchsorted(g.nodes, suffix), V - 1).astype(jnp.int32)
+    is_walk = g.edge_valid & g.branch[p_idx]
+    n_total = is_walk.sum().astype(jnp.int32)
+    (sel,) = jnp.nonzero(is_walk, size=max_walks, fill_value=0)
+    valid = jnp.arange(max_walks) < jnp.minimum(n_total, max_walks)
+    return s_idx[sel], prefix[sel], valid, n_total
+
+
+@partial(jax.jit, static_argnames=("k", "max_len", "max_walks"))
+def contigs_sparse(kmer_codes: jnp.ndarray, kmer_valid: jnp.ndarray, k: int,
+                   max_len: int, max_walks: int):
+    """Fused sparse build + doubling walk for one segment. Returns
+    (buf [W, max_len], lens, walk_valid, overflow, n_walks_total, n_nodes);
+    the sparse node capacity (2E) can never overflow."""
+    from genomeassembler_dev_tpu.dbg.doubling import walk_contigs_doubling
+
+    g = build_dbg(kmer_codes.reshape(-1), kmer_valid.reshape(-1), k)
+    start, prefix, valid, n_total = walk_starts_sparse(g, max_walks)
+    node_char = (g.nodes & 3).astype(jnp.uint8)
+    buf, lens, overflow = walk_contigs_doubling(
+        node_char, g.succ, g.pred, g.branch, g.out_deg,
+        jnp.where(valid, start, -1), prefix, valid, k, max_len,
+    )
+    return buf, lens, valid, overflow, n_total, g.n_nodes

@@ -25,13 +25,17 @@ from genomeassembler_dev_tpu.dbg.graph import DBG
 PAD = jnp.uint8(255)
 
 
-@partial(jax.jit, static_argnames=("max_len",))
-def walk_contigs(g: DBG, max_len: int):
+@partial(jax.jit, static_argnames=("max_len", "max_walks"))
+def walk_contigs(g: DBG, max_len: int, max_walks: int | None = None):
     """Walk every (branch-node, out-edge) pair to the next branch/dead end.
 
-    Returns (contigs [E, max_len] uint8 codes PAD-padded, lens [E] int32,
-    walk_valid [E] bool, overflow [E] bool). One walk per edge slot; slots
-    whose edge prefix is not a branch node are invalid.
+    Returns (contigs [W, max_len] uint8 codes PAD-padded, lens [W] int32,
+    walk_valid [W] bool, overflow [W] bool, n_walks_total scalar int32).
+
+    By default W = E (one walk slot per edge). Walks are sparse (only edges
+    whose prefix node branches), so max_walks compacts them into a fixed
+    smaller capacity; if n_walks_total > max_walks the surplus walks were
+    dropped and the caller must retry with a larger cap.
     """
     E = g.edges.shape[0]
     V = g.nodes.shape[0]
@@ -44,20 +48,31 @@ def walk_contigs(g: DBG, max_len: int):
     s_idx = jnp.minimum(jnp.searchsorted(g.nodes, suffix), V - 1).astype(jnp.int32)
 
     walk_valid = g.edge_valid & g.branch[p_idx]
+    n_walks_total = walk_valid.sum().astype(jnp.int32)
+
+    if max_walks is not None and max_walks < E:
+        (sel,) = jnp.nonzero(walk_valid, size=max_walks, fill_value=0)
+        slot_ok = jnp.arange(max_walks) < jnp.minimum(n_walks_total, max_walks)
+        prefix = prefix[sel]
+        s_idx = s_idx[sel]
+        walk_valid = slot_ok
+        W = max_walks
+    else:
+        W = E
 
     # first k-1 columns: the branch prefix's characters
     cols = jnp.arange(max_len, dtype=jnp.int32)
     shifts = 2 * (k - 2 - cols[: k - 1])
     prefix_chars = ((prefix[:, None] >> shifts[None, :]) & 3).astype(jnp.uint8)
-    buf0 = jnp.full((E, max_len), PAD)
+    buf0 = jnp.full((W, max_len), PAD)
     buf0 = buf0.at[:, : k - 1].set(jnp.where(walk_valid[:, None], prefix_chars, PAD))
 
     def cond(state):
-        t, cur, active, buf, lens, overflow = state
+        t, cur, active, buf, lens = state
         return active.any() & (t + k - 1 < max_len)
 
     def body(state):
-        t, cur, active, buf, lens, overflow = state
+        t, cur, active, buf, lens = state
         node_code = g.nodes[cur]
         ch = (node_code & 3).astype(jnp.uint8)
         col = k - 1 + t
@@ -67,14 +82,12 @@ def walk_contigs(g: DBG, max_len: int):
         nxt = g.succ[cur]
         still = active & ~terminal & (nxt >= 0)
         cur = jnp.where(still, jnp.maximum(nxt, 0), cur)
-        return t + 1, cur, still, buf, lens, overflow
+        return t + 1, cur, still, buf, lens
 
     t0 = jnp.int32(0)
-    active0 = walk_valid
     lens0 = jnp.where(walk_valid, k - 1, 0).astype(jnp.int32)
-    overflow0 = jnp.zeros(E, bool)
-    t, cur, active, buf, lens, overflow = jax.lax.while_loop(
-        cond, body, (t0, s_idx, active0, buf0, lens0, overflow0)
+    t, cur, active, buf, lens = jax.lax.while_loop(
+        cond, body, (t0, s_idx, walk_valid, buf0, lens0)
     )
     overflow = active  # ran out of buffer while still walking
-    return buf, lens, walk_valid, overflow
+    return buf, lens, walk_valid, overflow, n_walks_total

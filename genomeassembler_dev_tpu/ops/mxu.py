@@ -1,0 +1,75 @@
+"""MXU-formulated irregular ops: histograms and gathers as matmuls.
+
+TPU hardware has no fast scatter/gather (measured ~60-80M elem/s on v5e —
+they lower to near-scalar loops), but the MXU does 1e14+ MACs/s. Two classic
+reformulations make the framework's irregular ops MXU-shaped:
+
+  * histogram: split the bin index into (hi, lo) halves; then
+        counts[hi, lo] = sum_i onehot_hi[i, hi] * onehot_lo[i, lo]
+                       = onehot_hi^T @ onehot_lo
+    — one [H, N] @ [N, L] matmul gives all 4^k bins. Exact in f32
+    accumulation (counts are small integers).
+
+  * permutation gather (for pointer-doubling on compacted node arrays):
+        out[i, :] = vals[idx[i], :]  ==  onehot(idx) @ vals
+    — an [M, M] @ [M, C] matmul. Exact for integer-valued f32 vals < 2^24.
+
+Both build one-hots by iota comparison (cheap VPU work) and put the O(N*M)
+inner product on the MXU, which is orders of magnitude faster than the
+native gather/scatter path at these sizes.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+def _split_bits(total_bits: int) -> tuple[int, int]:
+    hi = total_bits // 2
+    return total_bits - hi, hi  # (hi_bits, lo_bits), hi >= lo
+
+
+@partial(jax.jit, static_argnames=("k",))
+def count_kmers_mxu(codes: jnp.ndarray, valid: jnp.ndarray, k: int) -> jnp.ndarray:
+    """Histogram of k-mer codes over all 4^k bins via one-hot matmul.
+
+    codes: [..., N] int32 in [0, 4^k); valid: same shape bool.
+    Returns [..., 4^k] float32 counts (exact integers).
+    """
+    total_bits = 2 * k
+    hi_bits, lo_bits = _split_bits(total_bits)
+    H, L = 1 << hi_bits, 1 << lo_bits
+    flat = codes.reshape(codes.shape[:-1] + (-1,))
+    v = valid.reshape(flat.shape)
+
+    hi = (flat >> lo_bits).astype(jnp.int32)
+    lo = (flat & (L - 1)).astype(jnp.int32)
+    iota_h = jnp.arange(H, dtype=jnp.int32)
+    iota_l = jnp.arange(L, dtype=jnp.int32)
+    oh_hi = (hi[..., None] == iota_h).astype(jnp.bfloat16)
+    oh_hi = oh_hi * v[..., None].astype(jnp.bfloat16)  # mask invalid rows
+    oh_lo = (lo[..., None] == iota_l).astype(jnp.bfloat16)
+
+    counts = jnp.einsum(
+        "...nh,...nl->...hl", oh_hi, oh_lo, preferred_element_type=jnp.float32
+    )
+    return counts.reshape(codes.shape[:-1] + (H * L,))
+
+
+@jax.jit
+def permutation_gather_mxu(vals: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """out[..., i, :] = vals[..., idx[i], :] via one-hot matmul.
+
+    vals: [..., M, C] float32 with integer values |v| < 2^24;
+    idx:  [..., M] int32 in [0, M). Returns [..., M, C] float32 (exact).
+    """
+    M = vals.shape[-2]
+    iota = jnp.arange(M, dtype=jnp.int32)
+    onehot = (idx[..., None] == iota).astype(jnp.bfloat16)
+    return jnp.einsum(
+        "...mk,...kc->...mc", onehot, vals.astype(jnp.float32),
+        preferred_element_type=jnp.float32,
+    )

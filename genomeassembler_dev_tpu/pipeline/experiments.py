@@ -1,0 +1,183 @@
+"""Study runners: the reference's experiment scripts as library functions.
+
+  * run_own_study      — scripts/02_Real_vs_rand_prob_own.R: the grid of
+                         (read_len, dbg_kmer) x total_iters own-dBG
+                         experiments, with per-experiment CSV artifacts and
+                         summary aggregation (results_summary/results_all).
+  * run_kmer_count_study — scripts/01_Real_vs_rand_prob_break_vs_kmers.R:
+                         count-only runs for k in {2,4,6,8} and the R^2 of
+                         count vs probability.
+  * run_gc_study       — scripts/03_GC_content_dependency.R: GC content of
+                         each segment vs its mean scores from the saved
+                         SolutionsTables.
+
+Plot generation is replaced by the CSV outputs the plots were drawn from
+(SURVEY.md §7.4); any plotting stack can consume them.
+"""
+
+from __future__ import annotations
+
+import csv
+import os
+from dataclasses import dataclass
+
+import numpy as np
+
+from genomeassembler_dev_tpu.core.querytable import QueryTable, load_default_query_table
+from genomeassembler_dev_tpu.pipeline import results as res_io
+from genomeassembler_dev_tpu.pipeline.assembler import Assembler
+from genomeassembler_dev_tpu.pipeline.config import ExperimentConfig
+from genomeassembler_dev_tpu.sim.segments import SegmentStore
+
+
+def _write_csv(path: str, names: list[str], rows: list[list]) -> None:
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    with open(path, "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(names)
+        w.writerows(rows)
+
+
+@dataclass
+class StudyReport:
+    summary_path: str
+    all_path: str
+    n_experiments: int
+    n_skipped: int
+
+
+def run_own_study(
+    workdir: str,
+    segments: SegmentStore,
+    base: ExperimentConfig | None = None,
+    grid: tuple[tuple[int, int], ...] | None = None,
+    total_iters: int | None = None,
+    table: QueryTable | None = None,
+    verbose: bool = False,
+) -> StudyReport:
+    """The own-dBG study (scripts/02_…:21-53 + aggregation :59-214).
+
+    Segments index experiments: experiment i uses segments[i-1] (1-based ind,
+    as the reference's exp_<i> layout). Existing artifacts are skipped —
+    the reference's file-per-experiment resume contract.
+    """
+    base = base or ExperimentConfig(
+        seq_len=1000, coverage_target=40.0, kmer=8, seed=1234
+    )
+    grid = grid or ExperimentConfig.OWN_STUDY_GRID
+    total_iters = total_iters or len(segments)
+    table = table if table is not None else load_default_query_table()
+
+    n_run = n_skip = 0
+    for read_len, dbg_kmer in grid:
+        cfg = base.with_(read_len=read_len, dbg_kmer=dbg_kmer)
+        asm = Assembler(cfg, table, verbose=verbose)
+        for i in range(1, total_iters + 1):
+            if res_io.experiment_done(workdir, i, cfg):
+                n_skip += 1
+                continue
+            res = asm.run_experiment(segments.seqs[i - 1])
+            res_io.save_result(workdir, i, cfg, res)
+            n_run += 1
+
+    # aggregation (scripts/02_…:59-214): per experiment, mean of the
+    # length-normalised scores, true vs random
+    summary_rows = []
+    all_rows = []
+    for read_len, dbg_kmer in grid:
+        cfg = base.with_(read_len=read_len, dbg_kmer=dbg_kmer)
+        for i in range(1, total_iters + 1):
+            path = res_io.solutions_path(workdir, i, cfg)
+            if not os.path.exists(path):
+                continue
+            cols = res_io.load_result_columns(path)
+            for key in ("bp_score_norm_by_len_true", "bp_score_norm_by_len_random"):
+                mean = float(np.nanmean(cols[key])) if len(cols[key]) else float("nan")
+                summary_rows.append([
+                    read_len, dbg_kmer, "bp_score_norm_by_len", mean,
+                    key.endswith("_random"),
+                ])
+            for r in range(len(cols["sequence"])):
+                all_rows.append([
+                    read_len, dbg_kmer, i,
+                    cols["sequence_len"][r], cols["bp_score_true"][r],
+                    cols["bp_score_random"][r], cols["lev_dist_vs_true"][r],
+                    cols["kmer_breaks"][r], cols["stat_test_KS_true"][r],
+                ])
+
+    out_dir = os.path.join(workdir, f"IndustryModel_{base.industry_standard}")
+    summary_path = os.path.join(out_dir, "results_summary.csv")
+    _write_csv(summary_path,
+               ["read_len", "dbg_kmer", "Key", "Value", "random_prob"],
+               summary_rows)
+    all_path = os.path.join(out_dir, "results_all.csv")
+    _write_csv(all_path,
+               ["read_len", "dbg_kmer", "experiment", "sequence_len",
+                "bp_score_true", "bp_score_random", "lev_dist_vs_true",
+                "kmer_breaks", "stat_test_KS_true"],
+               all_rows)
+    return StudyReport(summary_path, all_path, n_run, n_skip)
+
+
+def run_kmer_count_study(
+    workdir: str,
+    segment: str,
+    base: ExperimentConfig | None = None,
+    ks: tuple[int, ...] = (2, 4, 6, 8),
+    table: QueryTable | None = None,
+) -> dict[int, float]:
+    """Script 01: for each k, count read k-mers and regress count on
+    probability; returns {k: R^2} and writes kmer_count_vs_prob.csv.
+    Demonstrates that breakage probability is not explained by k-mer
+    frequency (scripts/01_…:48-56)."""
+    base = base or ExperimentConfig(seq_len=1000, read_len=20, coverage_target=40.0,
+                                    seed=1234)
+    table = table if table is not None else load_default_query_table()
+    rows, r2 = [], {}
+    for k in ks:
+        cfg = base.with_(only_kmers_from_reads=True, kmer=k)
+        res = Assembler(cfg, table).run_experiment(segment)
+        prob = res.columns["prob"]
+        count = res.columns["count"].astype(np.float64)
+        # R^2 of the least-squares fit count ~ prob
+        A = np.stack([prob, np.ones_like(prob)], axis=1)
+        coef, *_ = np.linalg.lstsq(A, count, rcond=None)
+        pred = A @ coef
+        ss_res = float(((count - pred) ** 2).sum())
+        ss_tot = float(((count - count.mean()) ** 2).sum())
+        r2[k] = 1.0 - ss_res / ss_tot if ss_tot else float("nan")
+        for code in range(len(prob)):
+            rows.append([k, code, prob[code], int(count[code])])
+    _write_csv(os.path.join(workdir, "kmer_count_vs_prob.csv"),
+               ["k", "code", "prob", "count"], rows)
+    return r2
+
+
+def run_gc_study(
+    workdir: str,
+    segments: SegmentStore,
+    cfg: ExperimentConfig,
+    total_iters: int,
+) -> str:
+    """Script 03: GC fraction of each experiment's segment vs its mean scores
+    from the saved SolutionsTables; writes gc_dependency.csv."""
+    rows = []
+    for i in range(1, total_iters + 1):
+        path = res_io.solutions_path(workdir, i, cfg)
+        if not os.path.exists(path):
+            continue
+        seq = segments.seqs[i - 1]
+        gc = (seq.count("G") + seq.count("C")) / len(seq)
+        cols = res_io.load_result_columns(path)
+        rows.append([
+            i, gc,
+            float(np.nanmean(cols["bp_score_true"])),
+            float(np.nanmean(cols["bp_score_norm_by_len_true"])),
+            float(np.nanmean(cols["bp_score_norm_by_break_freqs_true"])),
+            float(np.nanmean(cols["lev_dist_vs_true"])),
+        ])
+    out = os.path.join(workdir, "gc_dependency.csv")
+    _write_csv(out, ["experiment", "gc_fraction", "mean_bp_score",
+                     "mean_bp_score_norm_by_len",
+                     "mean_bp_score_norm_by_break_freqs", "mean_lev_dist"], rows)
+    return out

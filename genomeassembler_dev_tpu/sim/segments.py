@@ -114,5 +114,11 @@ def synthetic_segment_store(
     scale, sampled with the same contract as sample_segments."""
     chrom_len = chrom_len or max(10 * seq_len, seq_len + 1000)
     genome = {"chrS": synthetic_genome(seed, chrom_len)}
-    store = sample_segments(genome, seq_len, n_segments * 2, seed)
+    n_sample = 4 * n_segments + 8  # oversample: tail/duplicate picks drop
+    store = sample_segments(genome, seq_len, n_sample, seed)
+    if len(store) < n_segments:
+        raise ValueError(
+            f"only {len(store)} unique segments from chrom_len={chrom_len}; "
+            "increase chrom_len"
+        )
     return SegmentStore(names=store.names[:n_segments], seqs=store.seqs[:n_segments])

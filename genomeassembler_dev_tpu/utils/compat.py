@@ -1,0 +1,45 @@
+"""Workarounds for environment quirks.
+
+The axon PJRT relay in this environment occasionally returns a stale/mismatched
+executable for a cached program, surfacing as
+    ValueError: INVALID_ARGUMENT: Execution supplied N buffers but compiled
+    program expected M buffers
+on a *re-execution* of a previously-working program (nondeterministic; not
+reproducible on plain CPU/TPU backends). `flaky_backend_retry` retries the
+call after clearing JAX's caches, which forces a fresh trace/compile.
+"""
+
+from __future__ import annotations
+
+import functools
+import time
+
+
+def _is_flaky_buffer_error(e: Exception) -> bool:
+    msg = str(e)
+    return "INVALID_ARGUMENT" in msg and "buffers but compiled program expected" in msg
+
+
+def flaky_backend_retry(fn=None, *, attempts: int = 4, delay: float = 0.2):
+    """Retry `fn` on the relay's buffer-count mismatch error."""
+
+    def deco(f):
+        @functools.wraps(f)
+        def wrapper(*args, **kwargs):
+            import jax
+
+            last = None
+            for i in range(attempts):
+                try:
+                    return f(*args, **kwargs)
+                except ValueError as e:
+                    if not _is_flaky_buffer_error(e):
+                        raise
+                    last = e
+                    jax.clear_caches()
+                    time.sleep(delay * (i + 1))
+            raise last
+
+        return wrapper
+
+    return deco(fn) if fn is not None else deco

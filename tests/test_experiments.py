@@ -1,0 +1,94 @@
+"""Study runners and CLI."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from genomeassembler_dev_tpu import cli
+from genomeassembler_dev_tpu.core.querytable import load_default_query_table
+from genomeassembler_dev_tpu.pipeline.config import ExperimentConfig
+from genomeassembler_dev_tpu.pipeline.experiments import (
+    run_gc_study,
+    run_kmer_count_study,
+    run_own_study,
+)
+from genomeassembler_dev_tpu.sim.segments import synthetic_segment_store
+
+
+@pytest.fixture(scope="module")
+def table():
+    return load_default_query_table()
+
+
+BASE = ExperimentConfig(seq_len=250, coverage_target=12.0, kmer=8, seed=1234,
+                        n_orderings=100)
+
+
+class TestOwnStudy:
+    def test_study_and_resume(self, tmp_path, table):
+        wd = str(tmp_path)
+        segs = synthetic_segment_store(3, 250, 2)
+        grid = ((12, 9),)
+        rep = run_own_study(wd, segs, base=BASE, grid=grid, total_iters=2, table=table)
+        assert rep.n_experiments == 2 and rep.n_skipped == 0
+        assert os.path.exists(rep.summary_path)
+        assert os.path.exists(rep.all_path)
+        # resume: nothing re-runs
+        rep2 = run_own_study(wd, segs, base=BASE, grid=grid, total_iters=2, table=table)
+        assert rep2.n_experiments == 0 and rep2.n_skipped == 2
+        # summary has true and random rows
+        import csv
+
+        with open(rep.summary_path) as f:
+            rows = list(csv.DictReader(f))
+        assert {r["random_prob"] for r in rows} == {"True", "False"}
+        assert len(rows) == 4  # 2 experiments x (true, random)
+
+    def test_gc_study(self, tmp_path, table):
+        wd = str(tmp_path)
+        segs = synthetic_segment_store(3, 250, 2)
+        cfg = BASE.with_(read_len=12, dbg_kmer=9)
+        run_own_study(wd, segs, base=BASE, grid=((12, 9),), total_iters=2, table=table)
+        out = run_gc_study(wd, segs, cfg, 2)
+        import csv
+
+        with open(out) as f:
+            rows = list(csv.DictReader(f))
+        assert len(rows) == 2
+        assert 0.2 < float(rows[0]["gc_fraction"]) < 0.8
+
+
+class TestKmerCountStudy:
+    def test_r2(self, tmp_path, table):
+        segs = synthetic_segment_store(5, 250, 1)
+        r2 = run_kmer_count_study(
+            str(tmp_path), segs.seqs[0],
+            base=BASE.with_(read_len=20), ks=(2, 4), table=table,
+        )
+        assert set(r2) == {2, 4}
+        for v in r2.values():
+            assert -1.0 <= v <= 1.0
+        assert os.path.exists(os.path.join(str(tmp_path), "kmer_count_vs_prob.csv"))
+
+
+class TestCLI:
+    def test_run_command(self, tmp_path, capsys):
+        cli.main([
+            "run", "--workdir", str(tmp_path), "--synthetic",
+            "--seq-len", "250", "--read-len", "12", "--coverage", "12",
+            "--n-orderings", "100", "--total-iters", "2", "--ind", "1",
+        ])
+        out = json.loads(capsys.readouterr().out)
+        assert out["solutions"] > 0
+        assert os.path.exists(out["csv"])
+
+    def test_study_own_command(self, tmp_path, capsys):
+        cli.main([
+            "study-own", "--workdir", str(tmp_path), "--synthetic",
+            "--seq-len", "250", "--coverage", "12", "--n-orderings", "50",
+            "--total-iters", "1", "--grid", "12:9",
+        ])
+        out = json.loads(capsys.readouterr().out)
+        assert out["ran"] == 1

@@ -153,9 +153,14 @@ class TestKS:
 
 
 class TestDbgDevice:
-    @pytest.mark.parametrize("seed,glen,rlen,k", [(0, 40, 8, 5), (1, 120, 12, 7), (2, 200, 12, 9), (3, 300, 15, 11)])
+    # k=5,7,9 exercise the dense path; k=11,13 the sparse path
+    @pytest.mark.parametrize(
+        "seed,glen,rlen,k",
+        [(0, 40, 8, 5), (1, 120, 12, 7), (2, 200, 12, 9),
+         (3, 300, 15, 11), (4, 400, 16, 13)],
+    )
     def test_contigs_match_spec(self, seed, glen, rlen, k):
-        from genomeassembler_dev_tpu.dbg.assemble import contigs_from_read_codes
+        from genomeassembler_dev_tpu.dbg.assemble import DENSE_MAX_K, contigs_from_read_codes
 
         rng = np.random.default_rng(seed)
         g = rand_dna(rng, glen)
@@ -166,3 +171,49 @@ class TestDbgDevice:
         kmers = [r[i : i + k] for r in reads for i in range(rlen - k + 1)]
         expect = spec.get_contig_set(kmers, k)
         assert got == expect
+
+    @pytest.mark.parametrize("seed", [0, 5, 9])
+    def test_dense_sparse_agree(self, seed):
+        from genomeassembler_dev_tpu.dbg.dense import contigs_dense
+        from genomeassembler_dev_tpu.dbg.graph import contigs_sparse
+        from genomeassembler_dev_tpu.dbg.assemble import dedup_contigs
+        import jax.numpy as jnp
+        from genomeassembler_dev_tpu.ops.windows import kmer_window_codes
+
+        rng = np.random.default_rng(seed)
+        g = rand_dna(rng, 250)
+        reads = [g[i : i + 14] for i in range(0, 236, 3)] + [g[-14:]]
+        codes = jnp.asarray(np.stack([encode_dna(r) for r in reads]))
+        k = 9
+        kc, kv = kmer_window_codes(codes, k)
+        from genomeassembler_dev_tpu.utils.compat import flaky_backend_retry
+
+        outs = []
+        for fn in (contigs_dense, contigs_sparse):
+            buf, lens, valid, ov, nt, nn = flaky_backend_retry(fn)(kc, kv, k, 300, 512)
+            outs.append(dedup_contigs(np.asarray(buf), np.asarray(lens),
+                                      np.asarray(valid), np.asarray(ov)))
+        assert outs[0] == outs[1]
+
+    def test_walk_while_loop_agrees(self):
+        # the legacy while_loop walk stays as a second implementation;
+        # cross-check it against the doubling walk
+        import jax.numpy as jnp
+        from genomeassembler_dev_tpu.dbg.graph import build_dbg
+        from genomeassembler_dev_tpu.dbg.traverse import walk_contigs
+        from genomeassembler_dev_tpu.dbg.assemble import dedup_contigs, contigs_from_read_codes
+        from genomeassembler_dev_tpu.ops.windows import kmer_window_codes
+
+        rng = np.random.default_rng(11)
+        g = rand_dna(rng, 150)
+        reads = [g[i : i + 12] for i in range(0, 139, 2)] + [g[-12:]]
+        codes = jnp.asarray(np.stack([encode_dna(r) for r in reads]))
+        k = 7
+        kc, kv = kmer_window_codes(codes, k)
+        gph = build_dbg(kc.reshape(-1), kv.reshape(-1), k)
+        buf, lens, wv, ov, _ = walk_contigs(gph, 200)
+        legacy = dedup_contigs(np.asarray(buf), np.asarray(lens), np.asarray(wv), np.asarray(ov))
+        new = contigs_from_read_codes(
+            np.stack([encode_dna(r) for r in reads]), np.ones(len(reads), bool), k, 200
+        )
+        assert legacy == new
