@@ -19,6 +19,31 @@ def _searchsorted_right(sorted_rows: jnp.ndarray, queries: jnp.ndarray) -> jnp.n
 
 
 @jax.jit
+def batched_ks_2samp_masked(
+    x_rows: jnp.ndarray, x_valid: jnp.ndarray, y: jnp.ndarray
+) -> jnp.ndarray:
+    """KS statistic of the *valid* entries of each row vs shared sample y.
+
+    Ragged rows are handled by masking: invalid entries sort to +inf and are
+    excluded from both the ECDF denominator and the pooled evaluation
+    points. Rows with no valid entries return NaN.
+    """
+    B, N = x_rows.shape
+    n_valid = x_valid.sum(axis=1)  # [B]
+    xm = jnp.where(x_valid, x_rows, jnp.inf)
+    x_sorted = jnp.sort(xm, axis=1)
+    y_sorted = jnp.sort(y)
+    pooled = jnp.concatenate(
+        [x_sorted, jnp.broadcast_to(y_sorted, (B, y.shape[0]))], axis=1
+    )
+    cdf_x = _searchsorted_right(x_sorted, pooled) / jnp.maximum(n_valid, 1)[:, None]
+    cdf_y = jax.vmap(lambda q: jnp.searchsorted(y_sorted, q, side="right"))(pooled) / y.shape[0]
+    gaps = jnp.where(jnp.isfinite(pooled), jnp.abs(cdf_x - cdf_y), 0.0)
+    d = gaps.max(axis=1)
+    return jnp.where(n_valid > 0, d, jnp.nan)
+
+
+@jax.jit
 def batched_ks_2samp(x_rows: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
     """KS statistic of each row of x_rows [B, N] vs shared sample y [M].
 

@@ -1,0 +1,193 @@
+"""Industry-standard (external-assembler) path.
+
+The reference's velvet path (SURVEY.md §3.2): reads are written as paired
+FASTAs, velvet assembles them externally, and the resulting contigs.fa enters
+the scoring pipeline with its own variant semantics
+(lib/DeNovoAssembler.R:173-233, lib/BreakageScorer.cpp):
+
+  * 20,000 shuffled orderings, shuffling seeded inside the merge
+    (BreakageScorer.cpp:85-94) — our merge engine already seeds its own
+    mt19937, so semantics are identical;
+  * per-solution rolling octamer probability profile `path_prob_dist`
+    (BreakageScorer.cpp:199-215);
+  * `path_prob_dist_startpos` = first occurrence of the solution in the true
+    sequence (BreakageScorer.cpp:273-274; computed unconditionally here —
+    the reference only updates it when a read matches, leaving 0 otherwise,
+    which is drift, see SURVEY §3.2);
+  * solutions absent from the true sequence (startpos == -1) are dropped
+    (lib/DeNovoAssembler.R:360-362);
+  * Levenshtein in HW (infix) mode (BreakageScorer.cpp:46);
+  * KS statistic of the probability profile vs the genome's octamer track
+    (the documented intent of lib/DeNovoAssembler.R:419-426);
+  * genome coverage fraction via interval union of [startpos, startpos+len]
+    (lib/DeNovoAssembler.R:431-445, replicated literally including its
+    endpoint convention).
+
+The velveth/velvetg subprocess adapter mirrors lib/DeNovoAssembler.R:182-222
+and activates only when the binaries exist; otherwise callers supply a
+contigs FASTA (the C14 contract: contigs.fa in, scored solutions out).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import subprocess
+
+import jax.numpy as jnp
+import numpy as np
+
+from genomeassembler_dev_tpu.core.encoding import encode_dna
+from genomeassembler_dev_tpu.merge.engine import assemble_solutions
+from genomeassembler_dev_tpu.ops.edit_distance import batched_levenshtein
+from genomeassembler_dev_tpu.ops.ks import batched_ks_2samp_masked
+from genomeassembler_dev_tpu.ops.windows import kmer_window_codes
+from genomeassembler_dev_tpu.pipeline.assembler import (
+    Assembler,
+    ExperimentResult,
+    pack_strings,
+)
+from genomeassembler_dev_tpu.score.breakscore import breakscore
+from genomeassembler_dev_tpu.sim.reads import dedup_reads
+from genomeassembler_dev_tpu.sim.segments import read_fasta
+from genomeassembler_dev_tpu.utils.timers import StageTimer
+
+VELVET_RESULT_COLUMNS = [
+    "sequence", "sequence_len",
+    "bp_score_true", "bp_score_norm_by_break_freqs_true",
+    "bp_score_norm_by_len_true", "kmer_breaks", "lev_dist_vs_true",
+    "stat_test_KS_true", "path_prob_dist_startpos", "contig_frac_len",
+    "bp_score_random", "bp_score_norm_by_break_freqs_random",
+    "bp_score_norm_by_len_random", "stat_test_KS_random",
+]
+
+
+def covered_fraction(startpos: np.ndarray, lens: np.ndarray, seq_len: int) -> float:
+    """GRanges reduce/setdiff coverage (lib/DeNovoAssembler.R:431-445):
+    solution ranges [startpos, startpos+len] (the R code's literal endpoint
+    convention) unioned; covered% of [1, seq_len]."""
+    ivals = []
+    for s, ln in zip(startpos, lens):
+        lo, hi = max(1, int(s)), min(seq_len, int(s) + int(ln))
+        if hi >= lo:
+            ivals.append((lo, hi))
+    if not ivals:
+        return 0.0
+    ivals.sort()
+    covered = 0
+    cur_lo, cur_hi = ivals[0]
+    for lo, hi in ivals[1:]:
+        if lo > cur_hi + 1:
+            covered += cur_hi - cur_lo + 1
+            cur_lo, cur_hi = lo, hi
+        else:
+            cur_hi = max(cur_hi, hi)
+    covered += cur_hi - cur_lo + 1
+    return 100.0 * (1.0 - (seq_len - covered) / seq_len)
+
+
+class IndustryAssembler(Assembler):
+    """Scores externally-assembled contigs with the velvet-path semantics."""
+
+    def run_external(self, segment: str, external_contigs: list[str]) -> ExperimentResult:
+        cfg = self.config
+        timer = StageTimer(self.verbose)
+        genome_codes = encode_dna(segment)
+        rs = self.simulate(genome_codes, timer)
+
+        n_reads = int(np.asarray(rs.valid).sum())
+        acgt = np.bincount(genome_codes[genome_codes <= 3], minlength=4)
+        stats = {
+            "base_composition": (acgt / len(segment)).tolist(),
+            "coverage": round(n_reads * cfg.read_len / cfg.seq_len, 3),
+            "nr_of_reads": n_reads,
+            "genome_seq": segment,
+        }
+
+        with timer.stage("Merging shuffled contig orderings (velvet path)"):
+            n_ord = cfg.n_orderings if cfg.n_orderings != 10000 else 20000
+            solutions = assemble_solutions(
+                external_contigs, cfg.dbg_kmer, cfg.seed, n_ord,
+                backend=cfg.merge_backend,
+            )
+
+        with timer.stage("Evaluating each de novo assembled solution"):
+            pmat, plens = pack_strings(solutions)
+            uniq, counts = dedup_reads(np.asarray(rs.codes), np.asarray(rs.valid))
+            bs = breakscore(
+                jnp.asarray(pmat), jnp.asarray(plens), jnp.asarray(uniq),
+                jnp.asarray(counts), jnp.ones(len(uniq), bool),
+                jnp.asarray(self.table.combined, jnp.float32),
+                break_kmer=cfg.kmer, read_chunk=cfg.read_chunk,
+            )
+            uni = jnp.asarray(self.uniform.combined, jnp.float32)
+            total = jnp.maximum(bs.kmer_breaks.astype(jnp.float32), 1.0)
+            bp_rand = bs.site_counts @ uni
+            bp_rand_nb = jnp.where(
+                bs.kmer_breaks > 0, (bs.site_counts / total[:, None]) @ uni, 0.0
+            )
+            bp_rand_nl = bp_rand / jnp.maximum(plens.astype(jnp.float32), 1.0)
+
+            # per-position octamer probability profile of each solution
+            win8, win8_valid = kmer_window_codes(jnp.asarray(pmat), 8)
+            prof_valid = win8_valid & (
+                jnp.arange(win8.shape[1])[None, :] + 8 <= plens[:, None]
+            )
+            prof = jnp.asarray(self.table.probs[8], jnp.float32)[
+                jnp.minimum(win8, 65535)
+            ]
+            ks = batched_ks_2samp_masked(prof, prof_valid, rs.track)
+
+            lev = batched_levenshtein(
+                jnp.asarray(pmat), jnp.asarray(plens),
+                jnp.asarray(genome_codes), mode="HW",
+            )
+
+            startpos = np.array([segment.find(s) for s in solutions], np.int64)
+            keep = startpos != -1  # lib/DeNovoAssembler.R:360-362
+            frac = covered_fraction(startpos[keep],
+                                    np.asarray(plens)[keep], cfg.seq_len)
+
+            order = np.argsort(-np.asarray(bs.bp_score), kind="stable")
+            order = order[keep[order]]
+            ksv = np.asarray(ks)
+            cols = {
+                "sequence": [solutions[i] for i in order],
+                "sequence_len": np.asarray(plens)[order],
+                "bp_score_true": np.asarray(bs.bp_score)[order],
+                "bp_score_norm_by_break_freqs_true": np.asarray(bs.bp_score_norm_by_break_freqs)[order],
+                "bp_score_norm_by_len_true": np.asarray(bs.bp_score_norm_by_len)[order],
+                "kmer_breaks": np.asarray(bs.kmer_breaks)[order],
+                "lev_dist_vs_true": np.asarray(lev)[order],
+                "stat_test_KS_true": ksv[order],
+                "path_prob_dist_startpos": startpos[order],
+                "contig_frac_len": np.full(len(order), frac),
+                "bp_score_random": np.asarray(bp_rand)[order],
+                "bp_score_norm_by_break_freqs_random": np.asarray(bp_rand_nb)[order],
+                "bp_score_norm_by_len_random": np.asarray(bp_rand_nl)[order],
+                "stat_test_KS_random": ksv[order],
+            }
+        return ExperimentResult(columns=cols, stats=stats, timings=timer.times)
+
+    # -- velvet subprocess adapter (lib/DeNovoAssembler.R:182-222) ----------
+
+    @staticmethod
+    def velvet_available() -> bool:
+        return shutil.which("velveth") is not None and shutil.which("velvetg") is not None
+
+    def run_velvet(self, read1_fasta: str, read2_fasta: str, out_dir: str) -> list[str]:
+        """velveth/velvetg with the reference's flags; returns contigs."""
+        cfg = self.config
+        os.makedirs(out_dir, exist_ok=True)
+        subprocess.run(
+            ["velveth", out_dir, str(cfg.dbg_kmer), "-shortPaired", "-fasta",
+             "-separate", read1_fasta, read2_fasta],
+            check=True, capture_output=True,
+        )
+        subprocess.run(
+            ["velvetg", out_dir, "-exp_cov", "auto", "-cov_cutoff", "auto",
+             "-scaffolding", "yes"],
+            check=True, capture_output=True,
+        )
+        contigs = read_fasta(os.path.join(out_dir, "contigs.fa"))
+        return list(contigs.values())
