@@ -1,0 +1,105 @@
+"""Breakage-probability-biased dBG traversal.
+
+The reference's README frames octamer breakage probabilities steering the
+assembly as the ideal use of the method (README.md:79-81); the shipped code
+never implements it. This module adds it as a first-class capability
+(BASELINE.json config 4):
+
+Standard traversal stops at every branch node and emits one unitig per
+out-edge. Biased traversal instead *continues through* branches, at each
+node picking the present out-edge whose junction octamer — the trailing
+8-mer of the (k)-mer formed by node + candidate base — has the highest
+breakage probability. Since sonication breakpoints concentrate on
+high-probability octamers, read starts (and thus correct continuations) are
+enriched there.
+
+Walks start from the same (branch node, out-edge) pairs as the standard
+traversal, follow the greedy successor, and stop at dead ends or at the
+max_len cap (cycles are possible once branches are passable; the cap is the
+documented termination guarantee — capped walks return overflow=True).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from genomeassembler_dev_tpu.dbg.dense import DenseDBG, _sort_compact, build_dbg_dense
+
+PAD = jnp.uint8(255)
+
+
+def biased_successor(g: DenseDBG, probs8: jnp.ndarray) -> jnp.ndarray:
+    """succ_b[node] = dense node id of the greedy out-edge, -1 at dead ends.
+
+    Requires k-1 >= 8 (dbg_kmer >= 9, true of every reference config), so
+    the junction octamer is the trailing 16 bits of the candidate edge code.
+    """
+    V = g.succ.shape[0]
+    node = jnp.arange(V, dtype=jnp.int32)
+    cand_edge = (node[:, None] << 2) | jnp.arange(4, dtype=jnp.int32)  # [V, 4]
+    oct_code = cand_edge & ((1 << 16) - 1)
+    w = probs8[oct_code]  # [V, 4]
+    present = g.presence.reshape(V, 4)
+    w = jnp.where(present, w, -1.0)
+    best_char = jnp.argmax(w, axis=1).astype(jnp.int32)
+    return jnp.where(g.out_deg > 0, ((node << 2) | best_char) & (V - 1), -1)
+
+
+@partial(jax.jit, static_argnames=("k", "max_len", "max_walks"))
+def biased_contigs_dense(
+    kmer_codes: jnp.ndarray,
+    kmer_valid: jnp.ndarray,
+    probs8: jnp.ndarray,
+    k: int,
+    max_len: int,
+    max_walks: int,
+):
+    """Greedy probability-guided assemblies from every branch out-edge.
+
+    Returns (buf [W, max_len] uint8, lens, walk_valid, overflow, n_walks).
+    """
+    if k - 1 < 8:
+        raise ValueError("biased traversal needs dbg_kmer >= 9 (octamer junctions)")
+    g = build_dbg_dense(kmer_codes, kmer_valid, k)
+    V = g.succ.shape[0]
+    succ_b = biased_successor(g, probs8.astype(jnp.float32))
+
+    # walk starts: same (branch node, out-char) pairs as the standard walk
+    edge = jnp.arange(4 * V, dtype=jnp.int32)
+    is_walk = g.presence & g.branch[edge >> 2]
+    # compact via sort on the edge domain
+    sel, wvalid, n_walks = _sort_compact(is_walk, max_walks)
+    w_prefix = sel >> 2
+    w_start = sel & (V - 1)  # dense node id of the edge suffix
+
+    cols = jnp.arange(max_len, dtype=jnp.int32)
+    shifts = 2 * (k - 2 - cols[: k - 1])
+    prefix_chars = ((w_prefix[:, None] >> shifts[None, :]) & 3).astype(jnp.uint8)
+    W = max_walks
+    buf0 = jnp.full((W, max_len), PAD)
+    buf0 = buf0.at[:, : k - 1].set(jnp.where(wvalid[:, None], prefix_chars, PAD))
+
+    def cond(state):
+        t, cur, active, buf, lens = state
+        return active.any() & (t + k - 1 < max_len)
+
+    def body(state):
+        t, cur, active, buf, lens = state
+        ch = (cur & 3).astype(jnp.uint8)
+        col = k - 1 + t
+        buf = buf.at[:, col].set(jnp.where(active, ch, buf[:, col]))
+        lens = jnp.where(active, col + 1, lens)
+        nxt = succ_b[cur]
+        still = active & (nxt >= 0)
+        cur = jnp.where(still, jnp.maximum(nxt, 0), cur)
+        return t + 1, cur, still, buf, lens
+
+    lens0 = jnp.where(wvalid, k - 1, 0).astype(jnp.int32)
+    t, cur, active, buf, lens = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), w_start, wvalid, buf0, lens0)
+    )
+    overflow = active  # hit the cap while still extending (cycle or long path)
+    return buf, lens, wvalid, overflow, n_walks

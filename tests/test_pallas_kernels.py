@@ -1,0 +1,45 @@
+"""Pallas kernels vs spec (interpret mode on CPU)."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from genomeassembler_dev_tpu.core.encoding import encode_dna
+from genomeassembler_dev_tpu.ops.pallas.edit_distance_kernel import (
+    batched_levenshtein_pallas,
+)
+from genomeassembler_dev_tpu.spec import reference_semantics as spec
+
+
+def rand_dna(rng, n):
+    return "".join(rng.choice(list("ACGT"), size=n))
+
+
+class TestPallasLevenshtein:
+    @pytest.mark.parametrize("mode", ["NW", "HW"])
+    def test_vs_spec(self, mode):
+        rng = np.random.default_rng(0)
+        target = rand_dna(rng, 90)
+        queries = [rand_dna(rng, int(rng.integers(1, 120))) for _ in range(9)]
+        queries += [target, target[10:40]]
+        M = max(len(q) for q in queries)
+        qmat = np.zeros((len(queries), M), np.uint8)
+        qlen = np.array([len(q) for q in queries], np.int32)
+        for i, q in enumerate(queries):
+            qmat[i, : len(q)] = encode_dna(q)
+        out = np.asarray(batched_levenshtein_pallas(
+            jnp.asarray(qmat), jnp.asarray(qlen), jnp.asarray(encode_dna(target)),
+            mode=mode, block_b=16, interpret=True,
+        ))
+        expect = [spec.levenshtein(q, target, mode=mode) for q in queries]
+        assert out.tolist() == expect
+
+    def test_large_padding(self):
+        rng = np.random.default_rng(1)
+        target = rand_dna(rng, 40)
+        q = rand_dna(rng, 200)  # query longer than a lane tile
+        out = batched_levenshtein_pallas(
+            jnp.asarray(encode_dna(q))[None, :], jnp.asarray([200], jnp.int32),
+            jnp.asarray(encode_dna(target)), interpret=True, block_b=8,
+        )
+        assert int(out[0]) == spec.levenshtein(q, target)
