@@ -97,7 +97,8 @@ def batched_levenshtein_pallas(
         in_specs=[
             pl.BlockSpec((block_b, Mp), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((block_b, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, N), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            # target chars are read one scalar per row step -> SMEM
+            pl.BlockSpec((1, N), lambda i: (0, 0), memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec((block_b, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
         scratch_shapes=[pltpu.VMEM((block_b, Mp), jnp.int32)],

@@ -119,6 +119,100 @@ def run_own_study(
     return StudyReport(summary_path, all_path, n_run, n_skip)
 
 
+def study_statistics(all_csv_path: str) -> dict:
+    """The own-study's significance tests (scripts/02_…:548-588): per grid
+    row, a one-way ANOVA of bp_score across binned Levenshtein distance and
+    the Spearman correlation of bp_score vs Levenshtein distance."""
+    import scipy.stats as st
+
+    with open(all_csv_path, newline="") as f:
+        rows = list(csv.DictReader(f))
+    by_grid: dict[tuple[int, int], list[tuple[float, float]]] = {}
+    for r in rows:
+        key = (int(float(r["read_len"])), int(float(r["dbg_kmer"])))
+        by_grid.setdefault(key, []).append(
+            (float(r["bp_score_true"]), float(r["lev_dist_vs_true"]))
+        )
+    out = {}
+    for key, vals in by_grid.items():
+        bp = np.array([v[0] for v in vals])
+        lev = np.array([v[1] for v in vals])
+        rho, rho_p = st.spearmanr(bp, lev)
+        # bin lev into up to 6 groups (the reference's default bins)
+        edges = np.linspace(lev.min(), lev.max() + 1e-9, 7)
+        groups = [bp[(lev >= lo) & (lev < hi)] for lo, hi in zip(edges[:-1], edges[1:])]
+        groups = [g for g in groups if g.size > 1]
+        if len(groups) >= 2:
+            f_stat, f_p = st.f_oneway(*groups)
+        else:
+            f_stat, f_p = float("nan"), float("nan")
+        out[f"{key[0]}:{key[1]}"] = {
+            "spearman_rho": float(rho), "spearman_p": float(rho_p),
+            "anova_F": float(f_stat), "anova_p": float(f_p),
+            "n": int(bp.size),
+        }
+    return out
+
+
+def run_velvet_study(
+    workdir: str,
+    segments: SegmentStore,
+    contig_source,
+    base: ExperimentConfig | None = None,
+    grid: tuple[tuple[int, int], ...] | None = None,
+    total_iters: int | None = None,
+    table: QueryTable | None = None,
+    verbose: bool = False,
+) -> StudyReport:
+    """The industry-standard study (scripts/00_Real_vs_rand_prob_velvet.R):
+    same shape as the own study but contigs come from an external assembler.
+
+    contig_source(assembler, segment, ind) -> list[str] supplies the external
+    contigs — IndustryAssembler.run_velvet via the subprocess adapter when
+    velvet binaries exist, or any user-provided assembly."""
+    from genomeassembler_dev_tpu.pipeline.velvet import IndustryAssembler
+
+    base = (base or ExperimentConfig(seq_len=50000, coverage_target=40.0,
+                                     kmer=8, seed=1234)).with_(industry_standard=True)
+    grid = grid or ExperimentConfig.VELVET_STUDY_GRID
+    total_iters = total_iters or len(segments)
+    table = table if table is not None else load_default_query_table()
+
+    n_run = n_skip = 0
+    for read_len, dbg_kmer in grid:
+        cfg = base.with_(read_len=read_len, dbg_kmer=dbg_kmer)
+        asm = IndustryAssembler(cfg, table, verbose=verbose)
+        for i in range(1, total_iters + 1):
+            if res_io.experiment_done(workdir, i, cfg):
+                n_skip += 1
+                continue
+            contigs = contig_source(asm, segments.seqs[i - 1], i)
+            res = asm.run_external(segments.seqs[i - 1], contigs)
+            res_io.save_result(workdir, i, cfg, res)
+            n_run += 1
+
+    summary_rows = []
+    for read_len, dbg_kmer in grid:
+        cfg = base.with_(read_len=read_len, dbg_kmer=dbg_kmer)
+        for i in range(1, total_iters + 1):
+            path = res_io.solutions_path(workdir, i, cfg)
+            if not os.path.exists(path):
+                continue
+            cols = res_io.load_result_columns(path)
+            for key in ("bp_score_norm_by_len_true", "bp_score_norm_by_len_random",
+                        "stat_test_KS_true"):
+                vals = cols.get(key, [])
+                mean = float(np.nanmean(vals)) if len(vals) else float("nan")
+                summary_rows.append([read_len, dbg_kmer, key, mean,
+                                     key.endswith("_random")])
+    out_dir = os.path.join(workdir, "IndustryModel_True")
+    summary_path = os.path.join(out_dir, "results_summary.csv")
+    _write_csv(summary_path,
+               ["read_len", "dbg_kmer", "Key", "Value", "random_prob"],
+               summary_rows)
+    return StudyReport(summary_path, summary_path, n_run, n_skip)
+
+
 def run_kmer_count_study(
     workdir: str,
     segment: str,
