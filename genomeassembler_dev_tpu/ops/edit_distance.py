@@ -82,3 +82,21 @@ def batched_levenshtein(
         return best.astype(jnp.int32)
     final = jnp.take_along_axis(dp, query_lens[:, None].astype(jnp.int32), axis=1)[:, 0]
     return final.astype(jnp.int32)
+
+
+def batched_levenshtein_auto(
+    queries: jnp.ndarray,
+    query_lens: jnp.ndarray,
+    target: jnp.ndarray,
+    mode: str = "NW",
+) -> jnp.ndarray:
+    """Backend dispatch: the fused Pallas kernel on TPU (measured 1-3x the
+    XLA scan, biggest win in HW mode), the scan elsewhere. `target` must be
+    exact-length (unpadded)."""
+    if jax.devices()[0].platform == "tpu":
+        from genomeassembler_dev_tpu.ops.pallas.edit_distance_kernel import (
+            batched_levenshtein_pallas,
+        )
+
+        return batched_levenshtein_pallas(queries, query_lens, target, mode=mode)
+    return batched_levenshtein(queries, query_lens, target, mode=mode)

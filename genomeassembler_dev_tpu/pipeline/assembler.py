@@ -27,7 +27,7 @@ from genomeassembler_dev_tpu.core.encoding import INVALID, encode_dna
 from genomeassembler_dev_tpu.core.querytable import QueryTable, load_default_query_table
 from genomeassembler_dev_tpu.dbg.assemble import contigs_from_read_codes
 from genomeassembler_dev_tpu.merge.engine import assemble_solutions
-from genomeassembler_dev_tpu.ops.edit_distance import batched_levenshtein
+from genomeassembler_dev_tpu.ops.edit_distance import batched_levenshtein_auto
 from genomeassembler_dev_tpu.ops.histogram import count_kmers
 from genomeassembler_dev_tpu.ops.ks import batched_ks_2samp
 from genomeassembler_dev_tpu.ops.windows import kmer_window_codes
@@ -145,7 +145,7 @@ class Assembler:
             )
             bp_rand_norm_len = bp_rand / jnp.maximum(plens.astype(jnp.float32), 1.0)
 
-            lev = batched_levenshtein(
+            lev = batched_levenshtein_auto(
                 jnp.asarray(pmat), jnp.asarray(plens),
                 jnp.asarray(genome_codes), mode="NW",
             )

@@ -39,7 +39,7 @@ import numpy as np
 
 from genomeassembler_dev_tpu.core.encoding import encode_dna
 from genomeassembler_dev_tpu.merge.engine import assemble_solutions
-from genomeassembler_dev_tpu.ops.edit_distance import batched_levenshtein
+from genomeassembler_dev_tpu.ops.edit_distance import batched_levenshtein_auto
 from genomeassembler_dev_tpu.ops.ks import batched_ks_2samp_masked
 from genomeassembler_dev_tpu.ops.windows import kmer_window_codes
 from genomeassembler_dev_tpu.pipeline.assembler import (
@@ -138,7 +138,7 @@ class IndustryAssembler(Assembler):
             ]
             ks = batched_ks_2samp_masked(prof, prof_valid, rs.track)
 
-            lev = batched_levenshtein(
+            lev = batched_levenshtein_auto(
                 jnp.asarray(pmat), jnp.asarray(plens),
                 jnp.asarray(genome_codes), mode="HW",
             )
