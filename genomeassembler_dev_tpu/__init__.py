@@ -24,4 +24,22 @@ native engine (also the single-core baseline for benchmarks).
 
 __version__ = "0.1.0"
 
+import os as _os
+
+# Remote TPU compiles in tunneled environments can take minutes per program;
+# the persistent cache turns every repeat (across processes and study runs)
+# into a few seconds. Opt out with GADEV_NO_COMPILE_CACHE=1.
+if not _os.environ.get("GADEV_NO_COMPILE_CACHE"):
+    try:
+        import jax as _jax
+
+        _jax.config.update(
+            "jax_compilation_cache_dir",
+            _os.environ.get("GADEV_COMPILE_CACHE_DIR",
+                            _os.path.expanduser("~/.cache/jax_gadev")),
+        )
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # pragma: no cover - cache is best-effort
+        pass
+
 from genomeassembler_dev_tpu.core import encoding, kmers, querytable  # noqa: F401

@@ -53,10 +53,21 @@ def count_kmers_mxu(codes: jnp.ndarray, valid: jnp.ndarray, k: int) -> jnp.ndarr
     oh_hi = oh_hi * v[..., None].astype(jnp.bfloat16)  # mask invalid rows
     oh_lo = (lo[..., None] == iota_l).astype(jnp.bfloat16)
 
+    # HIGHEST precision: exact integer accumulation must survive the TPU's
+    # bf16-pass matmul lowering (counts can exceed bf16's 256-int range)
     counts = jnp.einsum(
-        "...nh,...nl->...hl", oh_hi, oh_lo, preferred_element_type=jnp.float32
+        "...nh,...nl->...hl", oh_hi, oh_lo,
+        preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST,
     )
     return counts.reshape(codes.shape[:-1] + (H * L,))
+
+
+def dot_f32(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Full-f32-accuracy matmul/dot: the TPU lowers f32 contractions to bf16
+    passes, and this environment sets --xla_allow_excess_precision, which can
+    degrade them to a single pass (~8-bit mantissa). Score dots compare at
+    ~1e-5 relative tolerance, so force HIGHEST."""
+    return jnp.matmul(a, b, precision=jax.lax.Precision.HIGHEST)
 
 
 @jax.jit
@@ -69,7 +80,9 @@ def permutation_gather_mxu(vals: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     M = vals.shape[-2]
     iota = jnp.arange(M, dtype=jnp.int32)
     onehot = (idx[..., None] == iota).astype(jnp.bfloat16)
+    # HIGHEST precision: gathered values are integer node indices/distances
+    # up to M; a single-pass bf16 matmul would round anything > 256
     return jnp.einsum(
         "...mk,...kc->...mc", onehot, vals.astype(jnp.float32),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST,
     )

@@ -31,6 +31,7 @@ from jax import shard_map
 from genomeassembler_dev_tpu.models import breakage_model as bm
 from genomeassembler_dev_tpu.score.breakscore import breakscore
 from genomeassembler_dev_tpu.sim.reads import simulate_reads
+from genomeassembler_dev_tpu.ops.mxu import dot_f32
 
 
 def make_sim_count_step(mesh: Mesh, read_len: int, n_draws: int, count_k: int,
@@ -103,7 +104,7 @@ def make_breakscore_step(mesh: Mesh, break_kmer: int = 8, read_chunk: int = 128)
         shard_size = probs_shard.shape[0]
         lo = tp_idx * shard_size
         local_counts = jax.lax.dynamic_slice_in_dim(counts, lo, shard_size, axis=2)
-        partial_dot = local_counts @ probs_shard
+        partial_dot = dot_f32(local_counts, probs_shard)
         return jax.lax.psum(partial_dot, "tp")
 
     return step

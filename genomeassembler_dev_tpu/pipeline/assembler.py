@@ -35,6 +35,7 @@ from genomeassembler_dev_tpu.pipeline.config import ExperimentConfig
 from genomeassembler_dev_tpu.score.breakscore import breakscore
 from genomeassembler_dev_tpu.sim.reads import dedup_reads, generate_reads
 from genomeassembler_dev_tpu.utils.timers import StageTimer
+from genomeassembler_dev_tpu.ops.mxu import dot_f32
 
 RESULT_COLUMNS = [
     "sequence",
@@ -68,17 +69,37 @@ class ExperimentResult:
         return len(self.columns["sequence"])
 
 
-def pack_strings(strings: list[str], pad: int = INVALID):
-    """[S] strings -> ([S, Lmax] uint8 codes, [S] int32 lens)."""
+def pack_strings(strings: list[str], pad: int = INVALID,
+                 s_multiple: int = 1, l_multiple: int = 1):
+    """[S] strings -> ([S', L'] uint8 codes, [S'] int32 lens).
+
+    s_multiple/l_multiple round the shape up to bucket sizes so repeated
+    experiments with slightly different solution counts/lengths hit the same
+    jit cache entries instead of recompiling (pad rows have len 0)."""
     if not strings:
-        return np.zeros((0, 1), np.uint8), np.zeros(0, np.int32)
-    L = max(len(s) for s in strings)
-    mat = np.full((len(strings), L), pad, np.uint8)
-    lens = np.zeros(len(strings), np.int32)
+        return np.zeros((s_multiple, l_multiple), np.uint8), np.zeros(s_multiple, np.int32)
+    L = -(-max(len(s) for s in strings) // l_multiple) * l_multiple
+    S = -(-len(strings) // s_multiple) * s_multiple
+    mat = np.full((S, L), pad, np.uint8)
+    lens = np.zeros(S, np.int32)
     for i, s in enumerate(strings):
         mat[i, : len(s)] = encode_dna(s)
         lens[i] = len(s)
     return mat, lens
+
+
+def pad_reads(uniq: np.ndarray, counts: np.ndarray, multiple: int = 512):
+    """Bucket the distinct-read arrays so the matcher's shapes repeat."""
+    U = uniq.shape[0]
+    Up = max(multiple, -(-U // multiple) * multiple)
+    codes = np.zeros((Up, uniq.shape[1] if uniq.size else 1), np.uint8)
+    cnts = np.zeros(Up, np.int32)
+    valid = np.zeros(Up, bool)
+    if U:
+        codes[:U] = uniq
+        cnts[:U] = counts
+        valid[:U] = True
+    return codes, cnts, valid
 
 
 class Assembler:
@@ -126,11 +147,14 @@ class Assembler:
               timer: StageTimer) -> dict[str, np.ndarray | list]:
         cfg = self.config
         with timer.stage("Evaluating each de novo assembled solution"):
-            pmat, plens = pack_strings(solutions)
+            # bucketed shapes: jit caches hit across experiments whose
+            # solution counts/lengths differ slightly
+            pmat, plens = pack_strings(solutions, s_multiple=64, l_multiple=128)
             uniq, counts = dedup_reads(np.asarray(rs.codes), np.asarray(rs.valid))
+            rcodes, rcounts, rvalid = pad_reads(uniq, counts, cfg.read_chunk)
             bs = breakscore(
-                jnp.asarray(pmat), jnp.asarray(plens), jnp.asarray(uniq),
-                jnp.asarray(counts), jnp.ones(len(uniq), bool),
+                jnp.asarray(pmat), jnp.asarray(plens), jnp.asarray(rcodes),
+                jnp.asarray(rcounts), jnp.asarray(rvalid),
                 jnp.asarray(self.table.combined, jnp.float32),
                 break_kmer=cfg.kmer, read_chunk=cfg.read_chunk,
             )
@@ -139,9 +163,9 @@ class Assembler:
             uni = jnp.asarray(self.uniform.combined, jnp.float32)
             site_counts = bs.site_counts
             total = jnp.maximum(bs.kmer_breaks.astype(jnp.float32), 1.0)
-            bp_rand = site_counts @ uni
+            bp_rand = dot_f32(site_counts, uni)
             bp_rand_norm_breaks = jnp.where(
-                bs.kmer_breaks > 0, (site_counts / total[:, None]) @ uni, 0.0
+                bs.kmer_breaks > 0, dot_f32(site_counts / total[:, None], uni), 0.0
             )
             bp_rand_norm_len = bp_rand / jnp.maximum(plens.astype(jnp.float32), 1.0)
 
@@ -158,8 +182,10 @@ class Assembler:
             contig_frac = min(100.0, 100.0 * max_len / cfg.seq_len)
 
             # row order: true-table bp_score descending, stable
-            # (data.table setorder; lib/DeNovoAssembler.R:359)
-            order = np.argsort(-np.asarray(bs.bp_score), kind="stable")
+            # (data.table setorder; lib/DeNovoAssembler.R:359); bucket pad
+            # rows are excluded
+            n_real = len(solutions)
+            order = np.argsort(-np.asarray(bs.bp_score)[:n_real], kind="stable")
             ksv = np.asarray(ks)
             cols = {
                 "sequence": [solutions[i] for i in order],

@@ -46,11 +46,13 @@ from genomeassembler_dev_tpu.pipeline.assembler import (
     Assembler,
     ExperimentResult,
     pack_strings,
+    pad_reads,
 )
 from genomeassembler_dev_tpu.score.breakscore import breakscore
 from genomeassembler_dev_tpu.sim.reads import dedup_reads
 from genomeassembler_dev_tpu.sim.segments import read_fasta
 from genomeassembler_dev_tpu.utils.timers import StageTimer
+from genomeassembler_dev_tpu.ops.mxu import dot_f32
 
 VELVET_RESULT_COLUMNS = [
     "sequence", "sequence_len",
@@ -112,19 +114,20 @@ class IndustryAssembler(Assembler):
             )
 
         with timer.stage("Evaluating each de novo assembled solution"):
-            pmat, plens = pack_strings(solutions)
+            pmat, plens = pack_strings(solutions, s_multiple=64, l_multiple=128)
             uniq, counts = dedup_reads(np.asarray(rs.codes), np.asarray(rs.valid))
+            rcodes, rcounts, rvalid = pad_reads(uniq, counts, cfg.read_chunk)
             bs = breakscore(
-                jnp.asarray(pmat), jnp.asarray(plens), jnp.asarray(uniq),
-                jnp.asarray(counts), jnp.ones(len(uniq), bool),
+                jnp.asarray(pmat), jnp.asarray(plens), jnp.asarray(rcodes),
+                jnp.asarray(rcounts), jnp.asarray(rvalid),
                 jnp.asarray(self.table.combined, jnp.float32),
                 break_kmer=cfg.kmer, read_chunk=cfg.read_chunk,
             )
             uni = jnp.asarray(self.uniform.combined, jnp.float32)
             total = jnp.maximum(bs.kmer_breaks.astype(jnp.float32), 1.0)
-            bp_rand = bs.site_counts @ uni
+            bp_rand = dot_f32(bs.site_counts, uni)
             bp_rand_nb = jnp.where(
-                bs.kmer_breaks > 0, (bs.site_counts / total[:, None]) @ uni, 0.0
+                bs.kmer_breaks > 0, dot_f32(bs.site_counts / total[:, None], uni), 0.0
             )
             bp_rand_nl = bp_rand / jnp.maximum(plens.astype(jnp.float32), 1.0)
 
@@ -146,9 +149,11 @@ class IndustryAssembler(Assembler):
             startpos = np.array([segment.find(s) for s in solutions], np.int64)
             keep = startpos != -1  # lib/DeNovoAssembler.R:360-362
             frac = covered_fraction(startpos[keep],
-                                    np.asarray(plens)[keep], cfg.seq_len)
+                                    np.asarray(plens)[: len(solutions)][keep],
+                                    cfg.seq_len)
 
-            order = np.argsort(-np.asarray(bs.bp_score), kind="stable")
+            n_real = len(solutions)
+            order = np.argsort(-np.asarray(bs.bp_score)[:n_real], kind="stable")
             order = order[keep[order]]
             ksv = np.asarray(ks)
             cols = {

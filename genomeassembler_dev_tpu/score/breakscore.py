@@ -27,6 +27,7 @@ import jax.numpy as jnp
 from genomeassembler_dev_tpu.core.querytable import OFFSETS, TOTAL
 from genomeassembler_dev_tpu.ops.match import find_first_match
 from genomeassembler_dev_tpu.ops.windows import kmer_window_codes
+from genomeassembler_dev_tpu.ops.mxu import dot_f32
 
 
 @partial(
@@ -83,9 +84,9 @@ def breakscore(
     total = w.sum(axis=1)  # [S]
 
     probs = probs_combined.astype(jnp.float32)
-    bp_score = counts @ probs
+    bp_score = dot_f32(counts, probs)
     safe_total = jnp.maximum(total, 1.0)
-    norm_by_breaks = (counts / safe_total[:, None]) @ probs
+    norm_by_breaks = dot_f32(counts / safe_total[:, None], probs)
     norm_by_breaks = jnp.where(total > 0, norm_by_breaks, 0.0)
     norm_by_len = bp_score / jnp.maximum(path_lens.astype(jnp.float32), 1.0)
     path_freq = jnp.where(total[:, None] > 0, counts / safe_total[:, None], jnp.nan)
