@@ -2,9 +2,16 @@
 
 The reference calls R's ks.test per solution against the genome's octamer
 probability track (lib/DeNovoAssembler.R:419-426). Here all solutions are
-evaluated at once: sort each sample row, evaluate both right-continuous ECDFs
-on the pooled points, take the max gap. Exact for ties (both ECDFs jump
-together at shared values), matching R's statistic.
+evaluated at once with a sort-and-cumsum formulation (TPU sorts are ~10x
+faster than the gather-based binary searches a searchsorted formulation
+needs):
+
+  * pool each row's sample with the shared sample, tagging origins,
+  * one key/value sort per row,
+  * both ECDFs are cumulative sums of the origin weights along the sorted
+    order; the KS gap is only evaluated at the end of each tie run, which
+    realises the right-continuous ECDF semantics exactly (ties across the
+    two samples included, matching R).
 """
 
 from __future__ import annotations
@@ -13,51 +20,52 @@ import jax
 import jax.numpy as jnp
 
 
-def _searchsorted_right(sorted_rows: jnp.ndarray, queries: jnp.ndarray) -> jnp.ndarray:
-    """Rowwise searchsorted(side='right'): [B, N] sorted, [B, Q] -> [B, Q]."""
-    return jax.vmap(lambda a, q: jnp.searchsorted(a, q, side="right"))(sorted_rows, queries)
+def _ks_from_pooled(values: jnp.ndarray, wx: jnp.ndarray, wy: jnp.ndarray) -> jnp.ndarray:
+    """values/wx/wy: [B, P]; weights sum to 1 per row (0 on padding).
+    Returns [B] KS statistics."""
+    order_vals, wx_s, wy_s = jax.lax.sort((values, wx, wy), num_keys=1)
+    cx = jnp.cumsum(wx_s, axis=1)
+    cy = jnp.cumsum(wy_s, axis=1)
+    gap = jnp.abs(cx - cy)
+    # evaluate only at the last element of each tie run (right-continuous)
+    nxt = jnp.concatenate(
+        [order_vals[:, 1:], jnp.full_like(order_vals[:, :1], jnp.inf)], axis=1
+    )
+    run_end = (order_vals != nxt) & jnp.isfinite(order_vals)
+    return jnp.where(run_end, gap, 0.0).max(axis=1)
 
 
 @jax.jit
 def batched_ks_2samp_masked(
     x_rows: jnp.ndarray, x_valid: jnp.ndarray, y: jnp.ndarray
 ) -> jnp.ndarray:
-    """KS statistic of the *valid* entries of each row vs shared sample y.
-
-    Ragged rows are handled by masking: invalid entries sort to +inf and are
-    excluded from both the ECDF denominator and the pooled evaluation
-    points. Rows with no valid entries return NaN.
-    """
+    """KS statistic of the *valid* entries of each row of x_rows [B, N] vs
+    the shared sample y [M]. Rows with no valid entries return NaN."""
     B, N = x_rows.shape
-    n_valid = x_valid.sum(axis=1)  # [B]
-    xm = jnp.where(x_valid, x_rows, jnp.inf)
-    x_sorted = jnp.sort(xm, axis=1)
-    y_sorted = jnp.sort(y)
-    pooled = jnp.concatenate(
-        [x_sorted, jnp.broadcast_to(y_sorted, (B, y.shape[0]))], axis=1
-    )
-    cdf_x = _searchsorted_right(x_sorted, pooled) / jnp.maximum(n_valid, 1)[:, None]
-    cdf_y = jax.vmap(lambda q: jnp.searchsorted(y_sorted, q, side="right"))(pooled) / y.shape[0]
-    gaps = jnp.where(jnp.isfinite(pooled), jnp.abs(cdf_x - cdf_y), 0.0)
-    d = gaps.max(axis=1)
+    M = y.shape[0]
+    n_valid = x_valid.sum(axis=1)
+    xm = jnp.where(x_valid, x_rows, jnp.inf).astype(jnp.float32)
+    yb = jnp.broadcast_to(y.astype(jnp.float32), (B, M))
+    values = jnp.concatenate([xm, yb], axis=1)
+    wx = jnp.concatenate(
+        [jnp.where(x_valid, 1.0 / jnp.maximum(n_valid, 1)[:, None], 0.0),
+         jnp.zeros((B, M))], axis=1,
+    ).astype(jnp.float32)
+    wy = jnp.concatenate(
+        [jnp.zeros((B, N)), jnp.full((B, M), 1.0 / M)], axis=1
+    ).astype(jnp.float32)
+    d = _ks_from_pooled(values, wx, wy)
     return jnp.where(n_valid > 0, d, jnp.nan)
 
 
 @jax.jit
 def batched_ks_2samp(x_rows: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
-    """KS statistic of each row of x_rows [B, N] vs shared sample y [M].
-
-    Rows containing NaN (the no-matched-reads case, see
-    spec.calc_breakscore) return NaN, mirroring the undefined statistic.
-    """
-    B, N = x_rows.shape
-    y_sorted = jnp.sort(y)
-    x_sorted = jnp.sort(x_rows, axis=1)
-    pooled = jnp.concatenate(
-        [x_sorted, jnp.broadcast_to(y_sorted, (B, y.shape[0]))], axis=1
-    )
-    cdf_x = _searchsorted_right(x_sorted, pooled) / N
-    cdf_y = jax.vmap(lambda q: jnp.searchsorted(y_sorted, q, side="right"))(pooled) / y.shape[0]
-    d = jnp.abs(cdf_x - cdf_y).max(axis=1)
+    """KS statistic of each full row of x_rows [B, N] vs shared sample y [M].
+    Rows containing NaN (the no-matched-reads case, see spec.calc_breakscore)
+    return NaN, mirroring the undefined statistic."""
     bad = jnp.isnan(x_rows).any(axis=1)
+    x_clean = jnp.where(jnp.isnan(x_rows), 0.0, x_rows)
+    d = batched_ks_2samp_masked(
+        x_clean, jnp.ones(x_rows.shape, bool), y
+    )
     return jnp.where(bad, jnp.nan, d)

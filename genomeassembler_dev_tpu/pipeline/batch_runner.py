@@ -1,0 +1,196 @@
+"""Batched multi-segment experiment execution.
+
+The reference runs its 200-experiment x 7-config study strictly serially
+(scripts/02_…:33-53). Here the device stages run batched across segments:
+
+  stage 1: one jit simulates every segment's read set          [B, N, R]
+  stage 2: one jit builds every dBG and walks every contig     [B, W, L]
+  stage 3: the native engine merges each segment's orderings (threads)
+  stage 4: segments are grouped by bucketed (solutions, reads) shapes and
+           scored with vmapped breakscore / Levenshtein / KS — a handful of
+           jit calls for the whole group instead of per-experiment dispatch.
+
+Outputs are identical to Assembler.run_experiment per segment (same spec
+semantics); only the execution schedule changes.
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from genomeassembler_dev_tpu.core.encoding import encode_dna
+from genomeassembler_dev_tpu.core.querytable import QueryTable
+from genomeassembler_dev_tpu.dbg.assemble import DENSE_MAX_K, dedup_contigs
+from genomeassembler_dev_tpu.dbg.dense import contigs_dense
+from genomeassembler_dev_tpu.dbg.graph import contigs_sparse
+from genomeassembler_dev_tpu.merge.engine import assemble_solutions
+from genomeassembler_dev_tpu.ops.edit_distance import batched_levenshtein
+from genomeassembler_dev_tpu.ops.ks import batched_ks_2samp
+from genomeassembler_dev_tpu.ops.mxu import dot_f32
+from genomeassembler_dev_tpu.ops.windows import kmer_window_codes
+from genomeassembler_dev_tpu.pipeline.assembler import (
+    ExperimentResult,
+    pack_strings,
+    pad_reads,
+)
+from genomeassembler_dev_tpu.pipeline.config import ExperimentConfig
+from genomeassembler_dev_tpu.score.breakscore import breakscore
+from genomeassembler_dev_tpu.sim.reads import dedup_reads, n_draws_for, simulate_reads
+from genomeassembler_dev_tpu.utils.compat import flaky_backend_retry
+from genomeassembler_dev_tpu.utils.timers import StageTimer
+
+
+@flaky_backend_retry
+def run_experiments_batched(
+    cfg: ExperimentConfig,
+    segments: list[str],
+    table: QueryTable,
+    uniform: QueryTable | None = None,
+    score_group: int = 8,
+    verbose: bool = False,
+) -> list[ExperimentResult]:
+    uniform = uniform or QueryTable.uniform()
+    timer = StageTimer(verbose)
+    B = len(segments)
+    L = cfg.seq_len
+    probs8 = jnp.asarray(table.probs[8], jnp.float32)
+    probs_all = jnp.asarray(table.combined, jnp.float32)
+    uni_all = jnp.asarray(uniform.combined, jnp.float32)
+
+    genome_mat = np.stack([encode_dna(s) for s in segments])
+    n_draws = n_draws_for(cfg.coverage_target, L, cfg.read_len)
+
+    # ---- stage 1: batched read simulation ---------------------------------
+    with timer.stage("Generating sequencing reads (batched)"):
+        # the reference reseeds identically per experiment (scripts/02_…:37)
+        keys = jnp.stack([jax.random.key(cfg.seed)] * B)
+        sim = jax.jit(jax.vmap(
+            lambda k, g: simulate_reads(k, g, probs8, cfg.read_len, n_draws,
+                                        cfg.kmer)
+        ))
+        rs = sim(keys, jnp.asarray(genome_mat))
+        jax.block_until_ready(rs.codes)
+
+    # ---- stage 2: batched dBG + contig walk -------------------------------
+    with timer.stage("Running DBG de novo genome assembler (batched)"):
+        fn = contigs_dense if cfg.dbg_kmer <= DENSE_MAX_K else contigs_sparse
+        max_walks = 2048
+
+        def per_seg(codes, valid):
+            kc, kv = kmer_window_codes(codes, cfg.dbg_kmer)
+            kv = kv & valid[:, None]
+            return fn(kc, kv, cfg.dbg_kmer, cfg.contig_cap, max_walks)
+
+        walk = jax.jit(jax.vmap(per_seg))
+        bufs, lens, wvalid, ovf, n_walks, n_nodes = [
+            np.asarray(x) for x in walk(rs.codes, rs.valid)
+        ]
+        if (n_walks > max_walks).any():
+            raise ValueError("walk capacity exceeded; raise max_walks")
+        contig_sets = [
+            dedup_contigs(bufs[b], lens[b], wvalid[b], ovf[b]) for b in range(B)
+        ]
+
+    # ---- stage 3: native merge per segment --------------------------------
+    with timer.stage("Merging shuffled contig orderings (batched)"):
+        solutions = [
+            assemble_solutions(c, cfg.dbg_kmer, cfg.seed, cfg.n_orderings,
+                               backend=cfg.merge_backend)
+            for c in contig_sets
+        ]
+
+    # ---- stage 4: grouped, vmapped scoring --------------------------------
+    read_codes = np.asarray(rs.codes)
+    read_valid = np.asarray(rs.valid)
+    tracks = np.asarray(rs.track)
+
+    packed = []
+    for b in range(B):
+        pmat, plens = pack_strings(solutions[b], s_multiple=64, l_multiple=128)
+        uniq, counts = dedup_reads(read_codes[b], read_valid[b])
+        rcds, rcnt, rvld = pad_reads(uniq, counts, cfg.read_chunk)
+        packed.append((pmat, plens, rcds, rcnt, rvld))
+
+    groups: dict[tuple, list[int]] = defaultdict(list)
+    for b, (pmat, _, rcds, _, _) in enumerate(packed):
+        groups[(pmat.shape, rcds.shape)].append(b)
+
+    score_fn = jax.jit(jax.vmap(
+        lambda pm, pl, rc, rn, rv: breakscore(
+            pm, pl, rc, rn, rv, probs_all,
+            break_kmer=cfg.kmer, read_chunk=cfg.read_chunk,
+        )
+    ))
+    lev_fn = jax.jit(jax.vmap(
+        lambda pm, pl, g: batched_levenshtein(pm, pl, g, mode="NW")
+    ))
+    ks_fn = jax.jit(jax.vmap(batched_ks_2samp))
+
+    results: list[ExperimentResult | None] = [None] * B
+    with timer.stage("Evaluating de novo assembled solutions (batched)"):
+        for _, members in groups.items():
+            for lo in range(0, len(members), score_group):
+                chunk = members[lo : lo + score_group]
+                pm = jnp.asarray(np.stack([packed[b][0] for b in chunk]))
+                pl = jnp.asarray(np.stack([packed[b][1] for b in chunk]))
+                rc = jnp.asarray(np.stack([packed[b][2] for b in chunk]))
+                rn = jnp.asarray(np.stack([packed[b][3] for b in chunk]))
+                rv = jnp.asarray(np.stack([packed[b][4] for b in chunk]))
+                gm = jnp.asarray(np.stack([genome_mat[b] for b in chunk]))
+                tr = jnp.asarray(np.stack([tracks[b] for b in chunk]))
+                bs = score_fn(pm, pl, rc, rn, rv)
+                lev = np.asarray(lev_fn(pm, pl, gm))
+                ks = np.asarray(ks_fn(bs.path_freq, tr))
+                bp_rand = np.asarray(dot_f32(bs.site_counts, uni_all))
+                total = np.maximum(np.asarray(bs.kmer_breaks), 1).astype(np.float32)
+                bp_rand_nb = np.asarray(
+                    dot_f32(bs.site_counts / jnp.asarray(total)[..., None], uni_all)
+                )
+                bp_rand_nb = np.where(np.asarray(bs.kmer_breaks) > 0, bp_rand_nb, 0.0)
+                plv = np.asarray(pl).astype(np.float32)
+                bp_rand_nl = bp_rand / np.maximum(plv, 1.0)
+
+                for gi, b in enumerate(chunk):
+                    sols = solutions[b]
+                    n_real = len(sols)
+                    order = np.argsort(-np.asarray(bs.bp_score)[gi, :n_real],
+                                       kind="stable")
+                    plens_b = np.asarray(pl)[gi]
+                    max_len = int(plens_b.max()) if n_real else 0
+                    contig_frac = min(100.0, 100.0 * max_len / cfg.seq_len)
+                    ksv = ks[gi]
+                    cols = {
+                        "sequence": [sols[i] for i in order],
+                        "sequence_len": plens_b[order],
+                        "bp_score_true": np.asarray(bs.bp_score)[gi][order],
+                        "bp_score_norm_by_break_freqs_true":
+                            np.asarray(bs.bp_score_norm_by_break_freqs)[gi][order],
+                        "bp_score_norm_by_len_true":
+                            np.asarray(bs.bp_score_norm_by_len)[gi][order],
+                        "kmer_breaks": np.asarray(bs.kmer_breaks)[gi][order],
+                        "lev_dist_vs_true": lev[gi][order],
+                        "stat_test_KS_true": ksv[order],
+                        "contig_frac_len": np.full(n_real, contig_frac),
+                        "bp_score_random": bp_rand[gi][order],
+                        "bp_score_norm_by_break_freqs_random": bp_rand_nb[gi][order],
+                        "bp_score_norm_by_len_random": bp_rand_nl[gi][order],
+                        "stat_test_KS_random": ksv[order],
+                    }
+                    n_reads = int(read_valid[b].sum())
+                    acgt = np.bincount(
+                        genome_mat[b][genome_mat[b] <= 3], minlength=4
+                    )
+                    stats = {
+                        "base_composition": (acgt / L).tolist(),
+                        "coverage": round(n_reads * cfg.read_len / L, 3),
+                        "nr_of_reads": n_reads,
+                        "genome_seq": segments[b],
+                    }
+                    results[b] = ExperimentResult(
+                        columns=cols, stats=stats, timings=dict(timer.times)
+                    )
+    return results  # type: ignore[return-value]

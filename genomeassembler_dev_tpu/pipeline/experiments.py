@@ -54,12 +54,16 @@ def run_own_study(
     total_iters: int | None = None,
     table: QueryTable | None = None,
     verbose: bool = False,
+    batched: bool = False,
+    seg_batch: int = 16,
 ) -> StudyReport:
     """The own-dBG study (scripts/02_…:21-53 + aggregation :59-214).
 
     Segments index experiments: experiment i uses segments[i-1] (1-based ind,
     as the reference's exp_<i> layout). Existing artifacts are skipped —
-    the reference's file-per-experiment resume contract.
+    the reference's file-per-experiment resume contract. With batched=True
+    the device stages run vmapped across seg_batch segments at a time
+    (pipeline.batch_runner; identical outputs, far fewer dispatches).
     """
     base = base or ExperimentConfig(
         seq_len=1000, coverage_target=40.0, kmer=8, seed=1234
@@ -71,14 +75,29 @@ def run_own_study(
     n_run = n_skip = 0
     for read_len, dbg_kmer in grid:
         cfg = base.with_(read_len=read_len, dbg_kmer=dbg_kmer)
-        asm = Assembler(cfg, table, verbose=verbose)
-        for i in range(1, total_iters + 1):
-            if res_io.experiment_done(workdir, i, cfg):
-                n_skip += 1
-                continue
-            res = asm.run_experiment(segments.seqs[i - 1])
-            res_io.save_result(workdir, i, cfg, res)
-            n_run += 1
+        pending = [i for i in range(1, total_iters + 1)
+                   if not res_io.experiment_done(workdir, i, cfg)]
+        n_skip += total_iters - len(pending)
+        if batched:
+            from genomeassembler_dev_tpu.pipeline.batch_runner import (
+                run_experiments_batched,
+            )
+
+            for lo in range(0, len(pending), seg_batch):
+                chunk = pending[lo : lo + seg_batch]
+                results = run_experiments_batched(
+                    cfg, [segments.seqs[i - 1] for i in chunk], table,
+                    verbose=verbose,
+                )
+                for i, res in zip(chunk, results):
+                    res_io.save_result(workdir, i, cfg, res)
+                    n_run += 1
+        else:
+            asm = Assembler(cfg, table, verbose=verbose)
+            for i in pending:
+                res = asm.run_experiment(segments.seqs[i - 1])
+                res_io.save_result(workdir, i, cfg, res)
+                n_run += 1
 
     # aggregation (scripts/02_…:59-214): per experiment, mean of the
     # length-normalised scores, true vs random

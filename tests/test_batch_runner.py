@@ -1,0 +1,39 @@
+"""Batched runner must reproduce the per-experiment runner exactly."""
+
+import numpy as np
+import pytest
+
+from genomeassembler_dev_tpu.core.querytable import load_default_query_table
+from genomeassembler_dev_tpu.pipeline.assembler import Assembler
+from genomeassembler_dev_tpu.pipeline.batch_runner import run_experiments_batched
+from genomeassembler_dev_tpu.pipeline.config import ExperimentConfig
+from genomeassembler_dev_tpu.sim.segments import synthetic_segment_store
+
+
+@pytest.fixture(scope="module")
+def table():
+    return load_default_query_table()
+
+
+def test_matches_serial_runner(table):
+    cfg = ExperimentConfig(seq_len=300, read_len=12, coverage_target=15.0,
+                           kmer=8, dbg_kmer=9, seed=1234, n_orderings=200)
+    store = synthetic_segment_store(11, 300, 3)
+    segs = list(store.seqs)
+    batched = run_experiments_batched(cfg, segs, table, score_group=2)
+    serial = Assembler(cfg, table)
+    for b, seg in enumerate(segs):
+        ref = serial.run_experiment(seg)
+        got = batched[b]
+        assert got.columns["sequence"] == ref.columns["sequence"]
+        for key in ("sequence_len", "kmer_breaks", "lev_dist_vs_true"):
+            np.testing.assert_array_equal(got.columns[key], ref.columns[key])
+        for key in ("bp_score_true", "bp_score_random",
+                    "bp_score_norm_by_len_true"):
+            np.testing.assert_allclose(got.columns[key], ref.columns[key],
+                                       rtol=1e-5)
+        ks_a = got.columns["stat_test_KS_true"]
+        ks_b = ref.columns["stat_test_KS_true"]
+        mask = ~np.isnan(ks_b)
+        np.testing.assert_allclose(ks_a[mask], ks_b[mask], atol=1e-6)
+        assert got.stats["nr_of_reads"] == ref.stats["nr_of_reads"]
