@@ -107,14 +107,31 @@ def contigs_dense(
     nodes_c, node_ok, n_nodes = _sort_compact(active, M)
     rank = (jnp.cumsum(active) - 1).astype(jnp.int32)  # dense -> compact
 
-    # ---- gather graph arrays at compacted nodes (small gathers) -----------
-    succ_d = g.succ[nodes_c]
-    pred_d = g.pred[nodes_c]
-    succ_c = jnp.where(node_ok & (succ_d >= 0), rank[jnp.maximum(succ_d, 0)], -1)
-    pred_c = jnp.where(node_ok & (pred_d >= 0), rank[jnp.maximum(pred_d, 0)], -1)
-    branch_c = g.branch[nodes_c] & node_ok
-    out0_c = (g.out_deg[nodes_c] == 0) | ~node_ok
-    nib_c = g.presence.reshape(V, 4)[nodes_c] & node_ok[:, None]  # out-edge chars
+    # ---- gather graph arrays at compacted nodes -----------------------------
+    # gathers run near-scalar on TPU, so pack per-node fields into one word
+    # and keep every gather M-sized (4 gathers instead of 7):
+    # bits 0..3 presence nibble | 4 branch | 5 out==0 | 6.. succ_dense+1
+    nib4 = (
+        g.presence.reshape(V, 4).astype(jnp.int32)
+        * jnp.array([1, 2, 4, 8], jnp.int32)
+    ).sum(axis=1)
+    packed = (
+        nib4
+        | (g.branch.astype(jnp.int32) << 4)
+        | ((g.out_deg == 0).astype(jnp.int32) << 5)
+        | ((g.succ + 1) << 6)
+    )
+
+    pk = packed[nodes_c]  # gather 1 [M]
+    pd = g.pred[nodes_c]  # gather 2 [M]
+    nib_c = ((pk[:, None] >> jnp.arange(4)) & 1).astype(bool) & node_ok[:, None]
+    branch_c = (((pk >> 4) & 1) == 1) & node_ok
+    out0_c = (((pk >> 5) & 1) == 1) | ~node_ok
+    succ_d = (pk >> 6) - 1  # dense node id of successor, -1 if none
+    succ_c = jnp.where(node_ok & (succ_d >= 0),
+                       rank[jnp.maximum(succ_d, 0)], -1)  # gather 3 [M]
+    pred_c = jnp.where(node_ok & (pd >= 0),
+                       rank[jnp.maximum(pd, 0)], -1)  # gather 4 [M]
     char_c = (nodes_c & 3).astype(jnp.uint8)
 
     terminal = branch_c | out0_c  # padding slots are terminal self-loops
