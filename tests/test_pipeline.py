@@ -109,6 +109,42 @@ class TestEndToEnd:
         assert res.stats["genome_seq"] == segment
 
 
+class TestLargeGridRow:
+    def test_read40_dbg15_matches_spec(self, table):
+        """The study grid's largest row: read_len=40 (3 packed words per
+        window), dbg_kmer=15 (sparse graph path)."""
+        cfg = ExperimentConfig(seq_len=400, read_len=40, coverage_target=15.0,
+                               kmer=8, dbg_kmer=15, seed=1234, n_orderings=100)
+        asm = Assembler(cfg, table)
+        segment = synthetic_genome(77, cfg.seq_len)
+        res = asm.run_experiment(segment)
+        assert res.n_solutions > 0
+
+        from genomeassembler_dev_tpu.core.encoding import encode_dna, decode_dna
+        from genomeassembler_dev_tpu.sim.reads import generate_reads
+
+        rs = generate_reads(jax.random.key(cfg.seed), encode_dna(segment), table,
+                            cfg.read_len, cfg.coverage_target, cfg.kmer)
+        reads = [decode_dna(r) for r, ok in
+                 zip(np.asarray(rs.codes), np.asarray(rs.valid)) if ok]
+        kmers = [r[i : i + cfg.dbg_kmer] for r in reads
+                 for i in range(cfg.read_len - cfg.dbg_kmer + 1)]
+        contigs = spec.get_contig_set(kmers, cfg.dbg_kmer)
+        sols = spec.assemble_solutions(
+            spec.shuffled_orderings(contigs, cfg.seed, cfg.n_orderings),
+            cfg.dbg_kmer,
+        )
+        assert sorted(res.columns["sequence"]) == sorted(sols)
+        sp = spec.calc_breakscore(sols, reads, segment, cfg.kmer, table)
+        by_seq = {s: i for i, s in enumerate(sols)}
+        for row, seq in enumerate(res.columns["sequence"]):
+            i = by_seq[seq]
+            assert res.columns["kmer_breaks"][row] == sp["kmer_breaks"][i]
+            np.testing.assert_allclose(res.columns["bp_score_true"][row],
+                                       sp["bp_score"][i], rtol=2e-5)
+            assert res.columns["lev_dist_vs_true"][row] == sp["lev_dist_vs_true"][i]
+
+
 class TestCountOnly:
     def test_count_path(self, table):
         cfg = SMALL.with_(only_kmers_from_reads=True, kmer=4)
