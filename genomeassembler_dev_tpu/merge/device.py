@@ -1,0 +1,217 @@
+"""On-device shuffled-ensemble greedy merge.
+
+The reference merges each of 10,000 shuffled contig orderings to fixpoint
+with in-place string surgery (lib/DeNovoAssembler.cpp:214-305). The native
+engine (merge/native.py) threads that loop; this module instead runs the
+whole ensemble as ONE jit program, with the ordering dimension [O] as the
+vector axis — every (k, i, j) scan step decides and applies the merge for
+all orderings simultaneously.
+
+Representation per (ordering, slot):
+  * alive, length;
+  * pre16/suf16 — the first/last 16 bases packed (contigs are always longer
+    than the overlap k <= dbg_kmer-1 <= 15, and an absorb keeps the head's
+    prefix and takes the absorbed chain's suffix), giving O(1) suffix_k ==
+    prefix_k tests as integer mask/shift compares;
+  * two 32-bit polynomial rolling hashes of the full string — concatenation
+    with a k-trimmed chain is h(A)*p^(lenB-k) + (h(B) - h(B[:k])*p^(lenB-k)),
+    all in wrapping uint32 arithmetic. The reference's `contigs[i] !=
+    contigs[j]` guard becomes (len, h1, h2) equality — a double 32-bit hash
+    collision would be needed to diverge (documented approximation; the
+    native/spec backends are exact);
+  * chain links over slots (next/trim/tail) so the merged strings are
+    reconstructed exactly on the host afterwards — no character buffers on
+    device at all.
+
+Scan order replicates the reference exactly: for k = K-1..1, repeat until no
+ordering shrinks: i ascending, j descending, skipping dead slots; erase
+compaction preserves relative order, so skipping dead slots is equivalent.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from genomeassembler_dev_tpu.core.encoding import encode_dna
+
+_P1 = np.uint32(1000003)
+_P2 = np.uint32(805306457)
+
+
+def _hash_arrays(contigs: list[str]):
+    """Per-contig: packed pre16/suf16, lengths, two rolling hashes, and the
+    hashes of every prefix of the first 16 characters (for trim-k removal).
+    Also power tables p^x for x up to max length."""
+    C = len(contigs)
+    max_len = max(len(c) for c in contigs)
+    pre16 = np.zeros(C, np.uint32)
+    suf16 = np.zeros(C, np.uint32)
+    lens = np.zeros(C, np.int32)
+    h1 = np.zeros(C, np.uint32)
+    h2 = np.zeros(C, np.uint32)
+    hpre1 = np.zeros((C, 16), np.uint32)
+    hpre2 = np.zeros((C, 16), np.uint32)
+    for ci, s in enumerate(contigs):
+        codes = encode_dna(s).astype(np.uint32)
+        lens[ci] = len(s)
+        a = np.uint32(0)
+        b = np.uint32(0)
+        for t, c in enumerate(codes):
+            a = a * _P1 + c
+            b = b * _P2 + c
+            if t < 16:
+                hpre1[ci, t] = a  # hash of s[:t+1]
+                hpre2[ci, t] = b
+        h1[ci] = a
+        h2[ci] = b
+        p = codes[:16]
+        pre16[ci] = sum(int(c) << (2 * (15 - t)) for t, c in enumerate(p))
+        sfx = codes[-16:] if len(codes) >= 16 else codes
+        suf16[ci] = sum(int(c) << (2 * (len(sfx) - 1 - t)) for t, c in enumerate(sfx))
+    # power tables up to the largest possible merged length (wrapping uint32)
+    total = int(lens.sum())
+    pow1 = np.ones(total + 1, np.uint32)
+    pow2 = np.ones(total + 1, np.uint32)
+    a = b = 1
+    for x in range(1, total + 1):
+        a = (a * int(_P1)) & 0xFFFFFFFF
+        b = (b * int(_P2)) & 0xFFFFFFFF
+        pow1[x] = a
+        pow2[x] = b
+    return pre16, suf16, lens, h1, h2, hpre1, hpre2, pow1, pow2
+
+
+@partial(jax.jit, static_argnames=("dbg_kmer",))
+def _merge_kernel(perms, pre16_c, suf16_c, lens_c, h1_c, h2_c,
+                  hpre1_c, hpre2_c, pow1, pow2, dbg_kmer):
+    """perms: [O, C] contig index per slot. Returns final chain state."""
+    O, C = perms.shape
+    rows = jnp.arange(O)
+    slot_iota = jnp.arange(C, dtype=jnp.int32)[None, :]
+
+    # a slot's chain-head contig is invariant (absorbs append at the tail),
+    # so the head contig id is simply perms[o, s]
+    st = {
+        "alive": jnp.ones((O, C), bool),
+        "len": lens_c[perms],
+        "pre16": pre16_c[perms],
+        "suf16": suf16_c[perms],
+        "h1": h1_c[perms],
+        "h2": h2_c[perms],
+        "next": jnp.full((O, C), -1, jnp.int32),
+        "trim": jnp.zeros((O, C), jnp.int32),
+        "tail": jnp.broadcast_to(jnp.arange(C, dtype=jnp.int32), (O, C)),
+    }
+    head_c = perms.astype(jnp.int32)  # static per slot
+
+    def pair_step(st, i, j, k):
+        gi = lambda f: st[f][:, i]
+        gj = lambda f: st[f][:, j]
+        suffix_i = gi("suf16") & jnp.uint32((1 << (2 * k)) - 1)
+        prefix_j = gj("pre16") >> jnp.uint32(2 * (16 - k))
+        str_eq = (
+            (gi("len") == gj("len")) & (gi("h1") == gj("h1")) & (gi("h2") == gj("h2"))
+        )
+        can = gi("alive") & gj("alive") & ~str_eq & (suffix_i == prefix_j)
+
+        len_j = gj("len")
+        tail_len = (len_j - k).astype(jnp.int32)
+        p1 = pow1[tail_len]
+        p2 = pow2[tail_len]
+        head_j = head_c[:, j]
+        hk1 = hpre1_c[head_j, k - 1]  # hash of chain j's first k chars
+        hk2 = hpre2_c[head_j, k - 1]
+        h1_new = gi("h1") * p1 + (gj("h1") - hk1 * p1)
+        h2_new = gi("h2") * p2 + (gj("h2") - hk2 * p2)
+        len_new = gi("len") + tail_len
+
+        tail_i = gi("tail")
+        # link: next[o, tail_i] = j where can  (vectorised column compare)
+        is_tail = slot_iota == tail_i[:, None]
+        st_next = jnp.where(can[:, None] & is_tail, j, st["next"])
+        st_trim = st["trim"].at[:, j].set(jnp.where(can, k, st["trim"][:, j]))
+
+        def upd_col(arr, col, val):
+            return arr.at[:, col].set(jnp.where(can, val, arr[:, col]))
+
+        st = dict(st)
+        st["next"] = st_next
+        st["trim"] = st_trim
+        st["h1"] = upd_col(st["h1"], i, h1_new)
+        st["h2"] = upd_col(st["h2"], i, h2_new)
+        st["len"] = upd_col(st["len"], i, len_new)
+        st["suf16"] = upd_col(st["suf16"], i, gj("suf16"))
+        st["tail"] = upd_col(st["tail"], i, gj("tail"))
+        st["alive"] = upd_col(st["alive"], j, jnp.zeros(O, bool))
+        return st
+
+    def sweep(st, k):
+        def body_i(i, st):
+            def body_j(jj, st):
+                j = C - 1 - jj
+                return jax.lax.cond(
+                    j == i, lambda s: s, lambda s: pair_step(s, i, j, k), st
+                )
+
+            return jax.lax.fori_loop(0, C, body_j, st)
+
+        return jax.lax.fori_loop(0, C, body_i, st)
+
+    def fixpoint(st, k):
+        def cond(carry):
+            st, changed = carry
+            return changed
+
+        def body(carry):
+            st, _ = carry
+            before = st["alive"].sum()
+            st = sweep(st, k)
+            return (st, st["alive"].sum() < before)
+
+        st, _ = jax.lax.while_loop(cond, body, (st, jnp.bool_(True)))
+        return st
+
+    for k in range(dbg_kmer - 1, 0, -1):
+        st = fixpoint(st, k)
+    return st["alive"], st["next"], st["trim"]
+
+
+def assemble_device(contigs: list[str], dbg_kmer: int, seed: int,
+                    n_orderings: int) -> list[str]:
+    """Device ensemble merge; same contract as merge.native.assemble_native:
+    returns deduplicated solutions sorted by (-length, lexicographic)."""
+    from genomeassembler_dev_tpu.core.rng import shuffle_orderings
+
+    if not contigs:
+        return []
+    if len(contigs) == 1:
+        return list(contigs)
+    C = len(contigs)
+    perms = shuffle_orderings(C, n_orderings, seed)
+    pre16, suf16, lens, h1, h2, hpre1, hpre2, pow1, pow2 = _hash_arrays(contigs)
+    alive, nxt, trim = (
+        np.asarray(x)
+        for x in _merge_kernel(
+            jnp.asarray(perms), jnp.asarray(pre16), jnp.asarray(suf16),
+            jnp.asarray(lens), jnp.asarray(h1), jnp.asarray(h2),
+            jnp.asarray(hpre1), jnp.asarray(hpre2),
+            jnp.asarray(pow1), jnp.asarray(pow2), dbg_kmer,
+        )
+    )
+
+    out = set()
+    O = perms.shape[0]
+    for o in range(O):
+        next_o, trim_o, perm_o = nxt[o], trim[o], perms[o]
+        for s in np.nonzero(alive[o])[0]:
+            parts = [contigs[perm_o[s]]]
+            cur = next_o[s]
+            while cur != -1:
+                parts.append(contigs[perm_o[cur]][trim_o[cur]:])
+                cur = next_o[cur]
+            out.add("".join(parts))
+    return sorted(out, key=lambda s: (-len(s), s))

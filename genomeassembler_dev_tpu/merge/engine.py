@@ -30,6 +30,10 @@ def assemble_solutions(
         backend = "native" if native.available() else "spec"
     if backend == "native":
         return native.assemble_native(contigs, dbg_kmer, seed, n_orderings, n_threads)
+    if backend == "device":
+        from genomeassembler_dev_tpu.merge.device import assemble_device
+
+        return assemble_device(contigs, dbg_kmer, seed, n_orderings)
     if backend == "spec":
         orderings = spec.shuffled_orderings(contigs, seed, n_orderings)
         return spec.assemble_solutions(orderings, dbg_kmer)

@@ -82,6 +82,9 @@ def batched_levenshtein_pallas(
     B, M = queries.shape
     N = target.shape[0]
     Mp = _round_up(M + 1, 128)
+    # VMEM budget: ~5 live [block_b, Mp] i32 buffers must fit in ~12MB
+    fit = max(8, (12_000_000 // (5 * 4 * Mp)) // 8 * 8)
+    block_b = min(block_b, fit)
     Bp = _round_up(B, block_b)
 
     # column j of the DP corresponds to query char j-1: shift queries right
