@@ -137,6 +137,25 @@ def main():
     else:
         log("native engine unavailable; vs_baseline = NaN")
 
+    # --- secondary metric (stderr): edit-distance throughput ----------------
+    try:
+        from genomeassembler_dev_tpu.ops.edit_distance import batched_levenshtein_auto
+
+        S, M = 256, 1024
+        rng = np.random.default_rng(1)
+        qs = jnp.asarray(rng.integers(0, 4, (S, M)).astype(np.uint8))
+        qlen = jnp.full(S, M, jnp.int32)
+        tgt = jnp.asarray(rng.integers(0, 4, SEQ_LEN).astype(np.uint8))
+        jax.block_until_ready(batched_levenshtein_auto(qs, qlen, tgt))
+        t0 = time.perf_counter()
+        out = np.asarray(batched_levenshtein_auto(qs, qlen, tgt))
+        t_lev = time.perf_counter() - t0
+        log(f"edit distance: {S}x{M}x{SEQ_LEN} in {t_lev * 1e3:.1f} ms -> "
+            f"{S * M * SEQ_LEN / t_lev / 1e9:.1f} Gcell/s "
+            f"({S / t_lev:,.0f} alignments/s)")
+    except Exception as e:  # secondary metric must not break the bench
+        log(f"edit-distance secondary metric skipped: {e}")
+
     print(json.dumps({
         "metric": "reads_per_sec_kmer_count_plus_dbg_build",
         "value": round(tpu_rps, 1),
