@@ -97,7 +97,18 @@ def run_own_study(
             for i in pending:
                 res = asm.run_experiment(segments.seqs[i - 1])
                 res_io.save_result(workdir, i, cfg, res)
+                if cfg.save_read_files:
+                    _save_reads(workdir, i, cfg, asm, segments, table)
                 n_run += 1
+
+    if base.save_read_files:
+        # the reference deletes data/reads/exp_* after the final iteration
+        # (lib/DeNovoAssembler.R:76-83); artifacts in results/ remain
+        import shutil
+
+        reads_root = os.path.join(workdir, "reads")
+        if os.path.isdir(reads_root):
+            shutil.rmtree(reads_root, ignore_errors=True)
 
     # aggregation (scripts/02_…:59-214): per experiment, mean of the
     # length-normalised scores, true vs random
@@ -136,6 +147,24 @@ def run_own_study(
                 "kmer_breaks", "stat_test_KS_true"],
                all_rows)
     return StudyReport(summary_path, all_path, n_run, n_skip)
+
+
+def _save_reads(workdir, ind, cfg, asm, segments, table):
+    """The reference's per-experiment read FASTA artifacts
+    (lib/GenerateReads.R:419-479)."""
+    import jax
+
+    from genomeassembler_dev_tpu.core.encoding import encode_dna
+    from genomeassembler_dev_tpu.sim.reads import generate_reads
+    from genomeassembler_dev_tpu.sim.reads_io import save_read_fastas
+
+    seg = segments.seqs[ind - 1]
+    rs = generate_reads(jax.random.key(cfg.seed), encode_dna(seg), table,
+                        cfg.read_len, cfg.coverage_target, cfg.kmer)
+    save_read_fastas(
+        workdir, ind, cfg, np.asarray(rs.codes), np.asarray(rs.valid),
+        np.asarray(rs.positions), seg, segments.names[ind - 1],
+    )
 
 
 def study_statistics(all_csv_path: str) -> dict:
