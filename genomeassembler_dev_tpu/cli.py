@@ -74,6 +74,7 @@ def cmd_study_own(args):
     rep = run_own_study(
         args.workdir, segs, base=_config(args), grid=grid,
         total_iters=args.total_iters, verbose=args.verbose,
+        batched=args.batched, seg_batch=args.seg_batch,
     )
     print(json.dumps({"summary": rep.summary_path, "all": rep.all_path,
                       "ran": rep.n_experiments, "skipped": rep.n_skipped}))
@@ -108,6 +109,9 @@ def main(argv=None):
     _add_common(p)
     p.add_argument("--grid", default=None,
                    help="comma list of read_len:dbg_kmer pairs, e.g. 12:9,14:9")
+    p.add_argument("--batched", action="store_true",
+                   help="vmapped device stages across segments")
+    p.add_argument("--seg-batch", type=int, default=16)
     p.set_defaults(fn=cmd_study_own)
 
     p = sub.add_parser("study-kmer-count", help="k-mer count vs prob (scripts/01)")

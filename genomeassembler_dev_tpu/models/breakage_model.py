@@ -95,6 +95,19 @@ def make_train_step(optimizer: optax.GradientTransformation):
     return train_step
 
 
+def save_params(path: str, params: dict) -> None:
+    """Checkpoint model parameters (npz; orbax-free so it works everywhere)."""
+    import os
+
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    np.savez_compressed(path, **{k: np.asarray(v) for k, v in params.items()})
+
+
+def load_params(path: str) -> dict:
+    with np.load(path) as d:
+        return {k: jnp.asarray(d[k]) for k in d.files}
+
+
 def fit_to_table(
     table: QueryTable,
     k: int = 8,

@@ -53,3 +53,13 @@ def test_train_step_jit_stable():
     p1, s1, l1 = step(params, state, codes, logp[codes])
     p2, s2, l2 = step(p1, s1, codes, logp[codes])
     assert np.isfinite(float(l1)) and float(l2) < float(l1)
+
+
+def test_params_roundtrip(tmp_path):
+    params = bm.init_params(jax.random.key(0), hidden=16)
+    p = str(tmp_path / "ckpt" / "model.npz")
+    bm.save_params(p, params)
+    loaded = bm.load_params(p)
+    assert set(loaded) == set(params)
+    for k in params:
+        np.testing.assert_array_equal(np.asarray(loaded[k]), np.asarray(params[k]))
