@@ -33,6 +33,26 @@ def contigs_from_read_codes(
     """Canonical contig set from packed reads. Raises if a walk overflows
     max_contig_len or the walk capacity (caller retries with larger caps)."""
     codes = jnp.asarray(read_codes)
+    if dbg_kmer > 31:
+        raise ValueError("dbg_kmer > 31 is not supported (62-bit code limit)")
+    if dbg_kmer > 15:
+        # two-word code path for large k (standard for 100-150bp reads)
+        from genomeassembler_dev_tpu.dbg.big_k import contigs_big_k, kmer_pair_codes
+
+        hi, lo, kvalid = kmer_pair_codes(codes, dbg_kmer)
+        kvalid = kvalid & jnp.asarray(read_valid)[:, None]
+        if max_walks is None:
+            max_walks = int(hi.size)
+        buf, lens, valid, overflow, n_total, _ = contigs_big_k(
+            hi, lo, kvalid, dbg_kmer, max_contig_len, max_walks
+        )
+        if int(n_total) > max_walks:
+            raise ValueError(
+                f"{int(n_total)} walks exceed capacity {max_walks}; raise max_walks"
+            )
+        return dedup_contigs(
+            np.asarray(buf), np.asarray(lens), np.asarray(valid), np.asarray(overflow)
+        )
     kcodes, kvalid = kmer_window_codes(codes, dbg_kmer)
     kvalid = kvalid & jnp.asarray(read_valid)[:, None]
     if max_walks is None:
