@@ -130,10 +130,33 @@ class Assembler:
     def contigs(self, read_codes, read_valid, timer: StageTimer) -> list[str]:
         cfg = self.config
         with timer.stage("Running DBG de novo genome assembler"):
+            if cfg.traversal == "biased":
+                return self._biased_contigs(read_codes, read_valid)
             return contigs_from_read_codes(
                 np.asarray(read_codes), np.asarray(read_valid),
                 cfg.dbg_kmer, cfg.contig_cap,
             )
+
+    def _biased_contigs(self, read_codes, read_valid) -> list[str]:
+        """Probability-guided traversal (dbg/biased.py): greedy continuation
+        through branches by junction-octamer probability; the resulting
+        extended assemblies then enter the same merge/score stages."""
+        from genomeassembler_dev_tpu.dbg.assemble import DENSE_MAX_K, dedup_contigs
+        from genomeassembler_dev_tpu.dbg.biased import biased_contigs_dense
+
+        cfg = self.config
+        if cfg.dbg_kmer > DENSE_MAX_K:
+            raise ValueError("biased traversal requires dbg_kmer <= 10 (dense graph)")
+        codes = jnp.asarray(np.asarray(read_codes))
+        kc, kv = kmer_window_codes(codes, cfg.dbg_kmer)
+        kv = kv & jnp.asarray(np.asarray(read_valid))[:, None]
+        buf, lens, wvalid, ovf, n_walks = biased_contigs_dense(
+            kc, kv, jnp.asarray(self.table.probs[8], jnp.float32),
+            cfg.dbg_kmer, cfg.contig_cap, 2048,
+        )
+        # capped (overflowing) walks are kept at their truncated length
+        return dedup_contigs(np.asarray(buf), np.asarray(lens),
+                             np.asarray(wvalid), np.asarray(ovf) & False)
 
     def merge(self, contigs: list[str], timer: StageTimer) -> list[str]:
         cfg = self.config

@@ -26,6 +26,7 @@ class ExperimentConfig:
     merge_backend: str = "auto"  # native | spec | device | auto
     read_chunk: int = 512
     max_contig_len: int | None = None  # default: 2 * seq_len
+    traversal: str = "standard"  # "biased" = probability-guided (config 4)
 
     # grid used by the own-dBG study (scripts/02_…:28-31)
     OWN_STUDY_GRID = (

@@ -84,3 +84,19 @@ class TestBiasedTraversal:
         buf, lens, wv, ovf, nw = biased_contigs_dense(kc, kv, probs, k, 40, 32)
         # walks hit the cap (overflow) instead of hanging
         assert bool((np.asarray(ovf) & np.asarray(wv)).any())
+
+
+class TestBiasedPipeline:
+    def test_full_experiment_with_biased_traversal(self):
+        from genomeassembler_dev_tpu.core.querytable import load_default_query_table
+        from genomeassembler_dev_tpu.pipeline.assembler import Assembler
+        from genomeassembler_dev_tpu.pipeline.config import ExperimentConfig
+        from genomeassembler_dev_tpu.sim.segments import synthetic_genome
+
+        cfg = ExperimentConfig(seq_len=300, read_len=12, coverage_target=15.0,
+                               kmer=8, dbg_kmer=9, seed=1234, n_orderings=100,
+                               traversal="biased")
+        asm = Assembler(cfg, load_default_query_table())
+        res = asm.run_experiment(synthetic_genome(21, 300))
+        assert res.n_solutions > 0
+        assert (res.columns["sequence_len"] >= 9).all()
