@@ -69,17 +69,32 @@ class ExperimentResult:
         return len(self.columns["sequence"])
 
 
+def _ladder(x: int, base: int) -> int:
+    """Round x up the geometric-ish ladder {base, 2b, 4b, ... } then
+    multiples of the largest power step — few distinct values, so repeated
+    experiments share jit cache entries (remote compiles cost minutes)."""
+    v = base
+    while v < x and v < 16 * base:
+        v *= 2
+    if v >= x:
+        return v
+    step = 8 * base
+    return -(-x // step) * step
+
+
 def pack_strings(strings: list[str], pad: int = INVALID,
                  s_multiple: int = 1, l_multiple: int = 1):
     """[S] strings -> ([S', L'] uint8 codes, [S'] int32 lens).
 
-    s_multiple/l_multiple round the shape up to bucket sizes so repeated
-    experiments with slightly different solution counts/lengths hit the same
-    jit cache entries instead of recompiling (pad rows have len 0)."""
+    With s_multiple/l_multiple > 1, shapes round up a coarse bucket ladder so
+    experiments with different solution counts/lengths hit the same jit cache
+    entries instead of recompiling (pad rows have len 0)."""
     if not strings:
         return np.zeros((s_multiple, l_multiple), np.uint8), np.zeros(s_multiple, np.int32)
-    L = -(-max(len(s) for s in strings) // l_multiple) * l_multiple
-    S = -(-len(strings) // s_multiple) * s_multiple
+    Lmax = max(len(s) for s in strings)
+    Smax = len(strings)
+    L = _ladder(Lmax, l_multiple) if l_multiple > 1 else Lmax
+    S = _ladder(Smax, s_multiple) if s_multiple > 1 else Smax
     mat = np.full((S, L), pad, np.uint8)
     lens = np.zeros(S, np.int32)
     for i, s in enumerate(strings):
@@ -91,7 +106,7 @@ def pack_strings(strings: list[str], pad: int = INVALID,
 def pad_reads(uniq: np.ndarray, counts: np.ndarray, multiple: int = 512):
     """Bucket the distinct-read arrays so the matcher's shapes repeat."""
     U = uniq.shape[0]
-    Up = max(multiple, -(-U // multiple) * multiple)
+    Up = _ladder(max(U, 1), multiple)
     codes = np.zeros((Up, uniq.shape[1] if uniq.size else 1), np.uint8)
     cnts = np.zeros(Up, np.int32)
     valid = np.zeros(Up, bool)
