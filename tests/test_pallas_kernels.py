@@ -43,3 +43,21 @@ class TestPallasLevenshtein:
             jnp.asarray(encode_dna(target)), interpret=True, block_b=8,
         )
         assert int(out[0]) == spec.levenshtein(q, target)
+
+
+class TestPallasHistogram:
+    @pytest.mark.parametrize("k", [4, 8, 9])
+    def test_matches_einsum_version(self, k):
+        from genomeassembler_dev_tpu.ops.mxu import count_kmers_mxu
+        from genomeassembler_dev_tpu.ops.pallas.histogram_kernel import (
+            count_kmers_mxu_pallas,
+        )
+
+        rng = np.random.default_rng(k)
+        codes = rng.integers(0, 4**k, size=(2, 700)).astype(np.int32)
+        valid = rng.random((2, 700)) < 0.9
+        a = np.asarray(count_kmers_mxu_pallas(
+            jnp.asarray(codes), jnp.asarray(valid), k, chunk=256, interpret=True
+        ))
+        b = np.asarray(count_kmers_mxu(jnp.asarray(codes), jnp.asarray(valid), k))
+        np.testing.assert_array_equal(a, b)
