@@ -135,6 +135,8 @@ def run_experiments_batched(
         for _, members in groups.items():
             for lo in range(0, len(members), score_group):
                 chunk = members[lo : lo + score_group]
+                # pad partial groups (repeat first member) to keep one shape
+                chunk = chunk + [chunk[0]] * (score_group - len(chunk))
                 pm = jnp.asarray(np.stack([packed[b][0] for b in chunk]))
                 pl = jnp.asarray(np.stack([packed[b][1] for b in chunk]))
                 rc = jnp.asarray(np.stack([packed[b][2] for b in chunk]))

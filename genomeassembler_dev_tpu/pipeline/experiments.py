@@ -85,9 +85,13 @@ def run_own_study(
 
             for lo in range(0, len(pending), seg_batch):
                 chunk = pending[lo : lo + seg_batch]
+                # pad the final partial batch (duplicate segments) so the
+                # vmapped stages keep one shape; extras are discarded
+                segs_chunk = [segments.seqs[i - 1] for i in chunk]
+                while len(segs_chunk) < seg_batch:
+                    segs_chunk.append(segs_chunk[0])
                 results = run_experiments_batched(
-                    cfg, [segments.seqs[i - 1] for i in chunk], table,
-                    verbose=verbose,
+                    cfg, segs_chunk, table, verbose=verbose,
                 )
                 for i, res in zip(chunk, results):
                     res_io.save_result(workdir, i, cfg, res)
