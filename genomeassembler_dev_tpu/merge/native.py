@@ -66,6 +66,18 @@ def _load() -> ctypes.CDLL | None:
             ctypes.c_int,
             ctypes.POINTER(ctypes.c_long),
         ]
+        lib.gadev_breakscore.restype = None
+        lib.gadev_breakscore.argtypes = [
+            ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_int),
+            ctypes.c_int,
+            ctypes.c_char_p,
+            ctypes.c_long,
+            ctypes.c_int,
+            ctypes.POINTER(ctypes.c_double),
+            ctypes.POINTER(ctypes.c_double),
+            ctypes.POINTER(ctypes.c_long),
+        ]
         lib.gadev_result_count.restype = ctypes.c_int
         lib.gadev_result_count.argtypes = [ctypes.c_void_p]
         lib.gadev_result_get.restype = ctypes.POINTER(ctypes.c_char)
@@ -130,6 +142,29 @@ def contigs_from_reads_native(reads: list[str], dbg_kmer: int) -> list[str]:
     buf = "".join(reads).encode()
     handle = lib.gadev_contigs_from_reads(buf, len(reads), read_len, dbg_kmer)
     return _collect_results(lib, handle)
+
+
+def breakscore_native(paths: list[str], reads: list[str],
+                      probs_combined: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Single-threaded breakage scoring (benchmark baseline; semantics of
+    spec.calc_breakscore's bp_score/kmer_breaks)."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native engine unavailable")
+    read_len = len(reads[0])
+    pbuf = "".join(paths).encode()
+    plens = (ctypes.c_int * len(paths))(*[len(s) for s in paths])
+    rbuf = "".join(reads).encode()
+    probs = np.ascontiguousarray(probs_combined, dtype=np.float64)
+    scores = np.zeros(len(paths), np.float64)
+    breaks = np.zeros(len(paths), np.int64)
+    lib.gadev_breakscore(
+        pbuf, plens, len(paths), rbuf, len(reads), read_len,
+        probs.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        scores.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        breaks.ctypes.data_as(ctypes.POINTER(ctypes.c_long)),
+    )
+    return scores, breaks
 
 
 def count_kmers_native(reads: list[str], k: int) -> np.ndarray:

@@ -207,6 +207,52 @@ void* gadev_contigs_from_reads(const char* reads_buf, long n_reads,
     return res;
 }
 
+// breakage-scoring baseline (single-threaded): for each solution, find the
+// first occurrence of every distinct read, expand the break site to the
+// 8-mer (2/4/6-mer at the path start, positions 1/2/3), accumulate
+// multiplicities, and dot with the combined probability table.
+// Semantics: spec/reference_semantics.py::calc_breakscore.
+// probs layout: combined table indexed OFFSETS[k] + code (k in 2,4,6,8).
+void gadev_breakscore(const char* paths_buf, const int* path_lens, int n_paths,
+                      const char* reads_buf, long n_reads, int read_len,
+                      const double* probs, double* out_scores,
+                      long* out_breaks) {
+    static const long kOffsets[5] = {0, 16, 272, 4368, 69904};  // k/2-1 -> off
+    int code_of[256];
+    for (int i = 0; i < 256; ++i) code_of[i] = 0;
+    code_of['A'] = 0; code_of['C'] = 1; code_of['G'] = 2; code_of['T'] = 3;
+
+    std::unordered_map<std::string, long> read_counts;
+    for (long r = 0; r < n_reads; ++r)
+        read_counts[std::string(reads_buf + r * read_len, read_len)]++;
+
+    const char* p = paths_buf;
+    for (int i = 0; i < n_paths; ++i) {
+        std::string path(p, path_lens[i]);
+        p += path_lens[i];
+        double score = 0.0;
+        long total = 0;
+        for (const auto& kv : read_counts) {
+            size_t pos = path.find(kv.first);
+            if (pos == std::string::npos) continue;
+            long start = pos >= 4 ? static_cast<long>(pos) - 4 : 0;
+            int ek = 8;
+            if (start == 0) {
+                if (pos == 1) ek = 2;
+                else if (pos == 2) ek = 4;
+                else if (pos == 3) ek = 6;
+            }
+            long code = 0;
+            for (int t = 0; t < ek; ++t)
+                code = (code << 2) | code_of[(unsigned char)path[start + t]];
+            score += probs[kOffsets[ek / 2 - 1] + code] * kv.second;
+            total += kv.second;
+        }
+        out_scores[i] = score;
+        out_breaks[i] = total;
+    }
+}
+
 // k-mer counting baseline: ACGT byte reads -> counts over 4^k bins.
 // Returns number of counted k-mers (invalid bases skipped).
 long gadev_count_kmers(const char* reads_buf, long n_reads, int read_len,

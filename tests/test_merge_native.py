@@ -68,3 +68,24 @@ class TestNativeBaseline:
             for i in range(len(r) - 3):
                 expect[kmer_code(r[i : i + 4])] += 1
         np.testing.assert_array_equal(counts, expect)
+
+
+@needs_native
+class TestNativeBreakscore:
+    def test_matches_spec(self):
+        from genomeassembler_dev_tpu.core.querytable import load_default_query_table
+
+        table = load_default_query_table()
+        rng = np.random.default_rng(5)
+        true_g = rand_dna(rng, 120)
+        paths = [true_g, true_g[10:90], rand_dna(rng, 60)]
+        reads = []
+        for _ in range(40):
+            src = paths[int(rng.integers(0, len(paths)))]
+            st = int(rng.integers(0, len(src) - 12 + 1))
+            reads.append(src[st : st + 12])
+        reads += reads[:8]
+        scores, breaks = native.breakscore_native(paths, reads, table.combined)
+        expect = spec.calc_breakscore(paths, reads, true_g, 8, table)
+        np.testing.assert_allclose(scores, expect["bp_score"], rtol=1e-12)
+        np.testing.assert_array_equal(breaks, expect["kmer_breaks"])
