@@ -132,11 +132,15 @@ def run_experiments_batched(
 
     results: list[ExperimentResult | None] = [None] * B
     with timer.stage("Evaluating de novo assembled solutions (batched)"):
-        for _, members in groups.items():
-            for lo in range(0, len(members), score_group):
-                chunk = members[lo : lo + score_group]
+        for shape_key, members in groups.items():
+            # the matcher materialises ~[G, S, P, read_chunk] compare buffers;
+            # scale the vmap width down as the solution bucket grows
+            S_bucket = shape_key[0][0]
+            group = max(1, min(score_group, 4096 // max(S_bucket, 1)))
+            for lo in range(0, len(members), group):
+                chunk = members[lo : lo + group]
                 # pad partial groups (repeat first member) to keep one shape
-                chunk = chunk + [chunk[0]] * (score_group - len(chunk))
+                chunk = chunk + [chunk[0]] * (group - len(chunk))
                 pm = jnp.asarray(np.stack([packed[b][0] for b in chunk]))
                 pl = jnp.asarray(np.stack([packed[b][1] for b in chunk]))
                 rc = jnp.asarray(np.stack([packed[b][2] for b in chunk]))
