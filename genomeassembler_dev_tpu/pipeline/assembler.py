@@ -142,6 +142,23 @@ class Assembler:
             jax.block_until_ready(rs.codes)
         return rs
 
+    def _replay_read_set(self, genome_codes: np.ndarray, read_set: tuple):
+        """Wrap stored read arrays as a ReadSet (track recomputed from the
+        segment — it is a pure function of segment + table)."""
+        from genomeassembler_dev_tpu.sim.reads import ReadSet, probability_track
+
+        codes, valid, positions = read_set
+        track = probability_track(
+            jnp.asarray(genome_codes),
+            jnp.asarray(self.table.probs[self.config.kmer], jnp.float32),
+            self.config.kmer,
+        )
+        return ReadSet(
+            codes=jnp.asarray(codes), valid=jnp.asarray(valid),
+            positions=jnp.asarray(positions), track=track,
+            read_len=int(codes.shape[1]),
+        )
+
     def contigs(self, read_codes, read_valid, timer: StageTimer) -> list[str]:
         cfg = self.config
         with timer.stage("Running DBG de novo genome assembler"):
@@ -258,11 +275,20 @@ class Assembler:
 
     # -- full experiment ----------------------------------------------------
 
-    def run_experiment(self, segment: str) -> ExperimentResult:
+    def run_experiment(self, segment: str,
+                       read_set: tuple | None = None) -> ExperimentResult:
+        """Run one experiment. `read_set` optionally replays a stored
+        (codes, valid, positions) tuple (sim.reads_io npz format) instead of
+        simulating — the cross-backend bit-equality gate of SURVEY §7.1:
+        given identical read sets, every downstream output is deterministic.
+        """
         cfg = self.config
         timer = StageTimer(self.verbose)
         genome_codes = encode_dna(segment)
-        rs = self.simulate(genome_codes, timer)
+        if read_set is not None:
+            rs = self._replay_read_set(genome_codes, read_set)
+        else:
+            rs = self.simulate(genome_codes, timer)
 
         n_reads = int(np.asarray(rs.valid).sum())
         acgt = np.bincount(genome_codes[genome_codes <= 3], minlength=4)

@@ -153,3 +153,30 @@ class TestCountOnly:
         assert res.columns["count"].shape == (256,)
         assert res.columns["count"].sum() > 0
         assert res.columns["prob"].shape == (256,)
+
+
+class TestReadSetReplay:
+    def test_replay_reproduces_run(self, table, tmp_path):
+        """SURVEY §7.1 equality gate: a stored read set replayed through the
+        pipeline reproduces the original run bit-for-bit."""
+        from genomeassembler_dev_tpu.core.encoding import encode_dna
+        from genomeassembler_dev_tpu.sim.reads import generate_reads
+        from genomeassembler_dev_tpu.sim.reads_io import (
+            load_read_set_npz, save_read_set_npz,
+        )
+
+        asm = Assembler(SMALL, table)
+        segment = synthetic_genome(33, SMALL.seq_len)
+        rs = generate_reads(jax.random.key(SMALL.seed), encode_dna(segment),
+                            table, SMALL.read_len, SMALL.coverage_target)
+        p = str(tmp_path / "rs.npz")
+        save_read_set_npz(p, np.asarray(rs.codes), np.asarray(rs.valid),
+                          np.asarray(rs.positions))
+
+        original = asm.run_experiment(segment)
+        replayed = asm.run_experiment(segment, read_set=load_read_set_npz(p))
+        assert replayed.columns["sequence"] == original.columns["sequence"]
+        np.testing.assert_array_equal(replayed.columns["bp_score_true"],
+                                      original.columns["bp_score_true"])
+        np.testing.assert_array_equal(replayed.columns["lev_dist_vs_true"],
+                                      original.columns["lev_dist_vs_true"])
