@@ -96,7 +96,6 @@ def _merge_kernel(perms, pre16_c, suf16_c, lens_c, h1_c, h2_c,
                   hpre1_c, hpre2_c, pow1, pow2, dbg_kmer):
     """perms: [O, C] contig index per slot. Returns final chain state."""
     O, C = perms.shape
-    rows = jnp.arange(O)
     slot_iota = jnp.arange(C, dtype=jnp.int32)[None, :]
 
     # a slot's chain-head contig is invariant (absorbs append at the tail),

@@ -18,8 +18,6 @@ bf16 matmuls on the MXU with f32 accumulation; parameters stay f32.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -8,7 +8,7 @@ array index.
 
 from __future__ import annotations
 
-import jax
+
 import jax.numpy as jnp
 
 

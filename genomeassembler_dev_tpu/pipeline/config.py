@@ -7,7 +7,7 @@ DeNovoAssembler.R:26-44, scripts/02_Real_vs_rand_prob_own.R:21-31).
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field, replace
+from dataclasses import dataclass, replace
 
 
 @dataclass(frozen=True)
