@@ -30,8 +30,32 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+def _device_alive(timeout_s: int = 120) -> bool:
+    """Probe TPU compute in a subprocess (a wedged relay hangs device ops
+    indefinitely; a hung bench reports nothing, a CPU fallback reports
+    something)."""
+    import subprocess
+
+    code = ("import jax, jax.numpy as jnp;"
+            "print(float(jnp.arange(8.0).sum()))")
+    try:
+        r = subprocess.run(["python", "-c", code], timeout=timeout_s,
+                           capture_output=True)
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main():
     import jax
+
+    if not _device_alive():
+        log("WARNING: TPU compute probe hung; falling back to CPU "
+            "(results NOT representative of TPU performance)")
+        try:
+            jax.config.update("jax_platforms", "cpu")
+        except RuntimeError:
+            pass
     import jax.numpy as jnp
 
     from genomeassembler_dev_tpu.core.encoding import encode_dna
