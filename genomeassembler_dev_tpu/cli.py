@@ -80,6 +80,52 @@ def cmd_study_own(args):
                       "ran": rep.n_experiments, "skipped": rep.n_skipped}))
 
 
+def cmd_study_velvet(args):
+    from genomeassembler_dev_tpu.pipeline.experiments import run_velvet_study
+    from genomeassembler_dev_tpu.pipeline.velvet import IndustryAssembler
+    from genomeassembler_dev_tpu.sim.segments import read_fasta
+
+    segs = _segments(args)
+    base = _config(args, industry_standard=True)
+
+    if args.contigs_dir:
+        def source(asm, segment, ind):
+            d = read_fasta(f"{args.contigs_dir}/contigs_exp_{ind}.fa")
+            return list(d.values())
+    elif IndustryAssembler.velvet_available():
+        import os
+
+        from genomeassembler_dev_tpu.core.encoding import encode_dna
+        from genomeassembler_dev_tpu.sim.reads import generate_reads
+        from genomeassembler_dev_tpu.sim.reads_io import save_read_fastas
+
+        def source(asm, segment, ind):
+            import jax
+            import numpy as np
+
+            rs = generate_reads(jax.random.key(base.seed), encode_dna(segment),
+                                asm.table, base.read_len, base.coverage_target)
+            p1, p2, _ = save_read_fastas(
+                args.workdir, ind, asm.config, np.asarray(rs.codes),
+                np.asarray(rs.valid), np.asarray(rs.positions), segment,
+            )
+            out = os.path.join(args.workdir, "velvet", f"exp_{ind}")
+            return asm.run_velvet(p1, p2, out)
+    else:
+        raise SystemExit(
+            "study-velvet needs --contigs-dir (contigs_exp_<i>.fa files) or "
+            "velveth/velvetg on PATH"
+        )
+
+    grid = None
+    if args.grid:
+        grid = tuple(tuple(int(x) for x in p.split(":")) for p in args.grid.split(","))
+    rep = run_velvet_study(args.workdir, segs, source, base=base, grid=grid,
+                           total_iters=args.total_iters, verbose=args.verbose)
+    print(json.dumps({"summary": rep.summary_path, "ran": rep.n_experiments,
+                      "skipped": rep.n_skipped}))
+
+
 def cmd_study_kmer_count(args):
     from genomeassembler_dev_tpu.pipeline.experiments import run_kmer_count_study
 
@@ -113,6 +159,15 @@ def main(argv=None):
                    help="vmapped device stages across segments")
     p.add_argument("--seg-batch", type=int, default=16)
     p.set_defaults(fn=cmd_study_own)
+
+    p = sub.add_parser("study-velvet",
+                       help="industry-standard study (scripts/00); external "
+                            "contigs or velvet binaries")
+    _add_common(p)
+    p.add_argument("--grid", default=None)
+    p.add_argument("--contigs-dir", default=None,
+                   help="directory of contigs_exp_<i>.fa files")
+    p.set_defaults(fn=cmd_study_velvet)
 
     p = sub.add_parser("study-kmer-count", help="k-mer count vs prob (scripts/01)")
     _add_common(p)

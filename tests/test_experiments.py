@@ -92,3 +92,25 @@ class TestCLI:
         ])
         out = json.loads(capsys.readouterr().out)
         assert out["ran"] == 1
+
+
+class TestVelvetCLI:
+    def test_with_contigs_dir(self, tmp_path, capsys):
+        from genomeassembler_dev_tpu.sim.segments import (
+            synthetic_segment_store, write_fasta,
+        )
+
+        segs = synthetic_segment_store(19, 250, 2)
+        cdir = tmp_path / "contigs"
+        for i, seq in enumerate(segs.seqs, start=1):
+            write_fasta(str(cdir / f"contigs_exp_{i}.fa"),
+                        {"c1": seq[:140], "c2": seq[130:250]})
+        # CLI uses its own synthetic store; pass the same seed/params
+        cli.main([
+            "study-velvet", "--workdir", str(tmp_path / "wd"),
+            "--synthetic", "--seed", "19", "--seq-len", "250",
+            "--coverage", "12", "--n-orderings", "100", "--total-iters", "2",
+            "--grid", "12:9", "--contigs-dir", str(cdir),
+        ])
+        out = json.loads(capsys.readouterr().out)
+        assert out["ran"] == 2
