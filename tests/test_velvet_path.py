@@ -138,3 +138,27 @@ class TestReadsIO:
         save_read_set_npz(npz, codes, valid, pos)
         c2, v2, p2_ = load_read_set_npz(npz)
         np.testing.assert_array_equal(c2, codes)
+
+
+class TestProbabilityProfile:
+    def test_profile_matches_string_computation(self, table):
+        """The device-gathered per-position octamer probability profile
+        (BreakageScorer.cpp:199-215 semantics) matches a direct string-level
+        computation."""
+        import jax.numpy as jnp
+
+        from genomeassembler_dev_tpu.core.encoding import encode_dna, kmer_code
+        from genomeassembler_dev_tpu.ops.windows import kmer_window_codes
+        from genomeassembler_dev_tpu.pipeline.assembler import pack_strings
+
+        rng = np.random.default_rng(3)
+        sols = ["".join(rng.choice(list("ACGT"), size=n)) for n in (20, 35, 50)]
+        pmat, plens = pack_strings(sols)
+        win8, win8_valid = kmer_window_codes(jnp.asarray(pmat), 8)
+        prof = np.asarray(
+            jnp.asarray(table.probs[8], jnp.float32)[jnp.minimum(win8, 65535)]
+        )
+        for i, s in enumerate(sols):
+            for pos in range(len(s) - 7):
+                expect = table.probs[8][kmer_code(s[pos : pos + 8])]
+                assert abs(prof[i, pos] - expect) < 1e-9
