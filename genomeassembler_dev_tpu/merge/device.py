@@ -121,7 +121,9 @@ def _merge_kernel(perms, pre16_c, suf16_c, lens_c, h1_c, h2_c,
         str_eq = (
             (gi("len") == gj("len")) & (gi("h1") == gj("h1")) & (gi("h2") == gj("h2"))
         )
-        can = gi("alive") & gj("alive") & ~str_eq & (suffix_i == prefix_j)
+        long_enough = (gi("len") >= k) & (gj("len") >= k)
+        can = (gi("alive") & gj("alive") & ~str_eq & long_enough
+               & (suffix_i == prefix_j))
 
         len_j = gj("len")
         tail_len = (len_j - k).astype(jnp.int32)

@@ -118,7 +118,13 @@ def merge_one_ordering(contigs: list[str], dbg_kmer: int) -> list[str]:
                 for j in range(len(contigs) - 1, -1, -1):
                     ci = contigs[i]
                     cj = contigs[j]
-                    if ci != cj and cj != "" and ci[-k:] == cj[:k]:
+                    # contigs shorter than the overlap are skipped: the
+                    # reference's substr would throw out_of_range there
+                    # (own-path contigs are always >= dbg_kmer, so this
+                    # only affects short *external* contigs); all backends
+                    # share this robustness contract
+                    if (ci != cj and cj != "" and len(ci) >= k and len(cj) >= k
+                            and ci[-k:] == cj[:k]):
                         contigs[i] = ci + cj[k:]
                         contigs[j] = ""
             contigs = [c for c in contigs if c != ""]

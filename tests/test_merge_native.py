@@ -89,3 +89,17 @@ class TestNativeBreakscore:
         expect = spec.calc_breakscore(paths, reads, true_g, 8, table)
         np.testing.assert_allclose(scores, expect["bp_score"], rtol=1e-12)
         np.testing.assert_array_equal(breaks, expect["kmer_breaks"])
+
+
+@needs_native
+def test_short_contig_contract_consistent():
+    """Contigs shorter than the overlap k are skipped identically by spec,
+    native and device backends (the reference would crash on them)."""
+    from genomeassembler_dev_tpu.merge.device import assemble_device
+
+    contigs = sorted({"ACG", "CGTACGGA", "GATTACAAT", "TA"})
+    k = 7
+    sp = spec.assemble_solutions(spec.shuffled_orderings(contigs, 5, 40), k)
+    na = native.assemble_native(contigs, k, 5, 40)
+    de = assemble_device(contigs, k, 5, 40)
+    assert sp == na == de
