@@ -18,6 +18,8 @@ import sys
 
 def _add_common(p):
     p.add_argument("--workdir", default="./workdir")
+    p.add_argument("--platform", default=None,
+                   help="force a JAX platform (e.g. cpu, tpu)")
     p.add_argument("--seq-len", type=int, default=1000)
     p.add_argument("--read-len", type=int, default=12)
     p.add_argument("--dbg-kmer", type=int, default=9)
@@ -178,6 +180,10 @@ def main(argv=None):
     p.set_defaults(fn=cmd_study_gc)
 
     args = ap.parse_args(argv)
+    if getattr(args, "platform", None):
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
     return args.fn(args)
 
 
