@@ -30,7 +30,7 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def _device_alive(timeout_s: int = 120) -> bool:
+def _device_alive(timeout_s: int = 600) -> bool:
     """Probe TPU compute in a subprocess (a wedged relay hangs device ops
     indefinitely; a hung bench reports nothing, a CPU fallback reports
     something)."""
