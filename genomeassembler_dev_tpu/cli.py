@@ -144,6 +144,43 @@ def cmd_study_gc(args):
     print(json.dumps({"csv": out}))
 
 
+def cmd_fit_model(args):
+    from genomeassembler_dev_tpu.core.querytable import load_default_query_table
+    from genomeassembler_dev_tpu.models import breakage_model as bm
+
+    table = load_default_query_table()
+    params, losses = bm.fit_to_table(
+        table, k=args.kmer, steps=args.steps, hidden=args.hidden, lr=args.lr,
+        seed=args.seed,
+    )
+    bm.save_params(args.out, params)
+    print(json.dumps({"checkpoint": args.out,
+                      "loss_first": float(losses[0]),
+                      "loss_last": float(losses[-1])}))
+
+
+def cmd_bench_scaling(args):
+    import numpy as np
+
+    from genomeassembler_dev_tpu.core.encoding import encode_dna
+    from genomeassembler_dev_tpu.core.querytable import load_default_query_table
+    from genomeassembler_dev_tpu.parallel.scaling import measure_scaling
+    from genomeassembler_dev_tpu.sim.segments import synthetic_genome
+
+    table = load_default_query_table()
+    counts = [int(x) for x in args.devices.split(",")]
+    B = max(counts) * args.segments_per_device
+    genomes = np.stack(
+        [encode_dna(synthetic_genome(i, args.seq_len)) for i in range(B)]
+    )
+    pts = measure_scaling(genomes, table.probs[8], args.read_len,
+                          args.draws_per_segment, counts)
+    print(json.dumps([
+        {"devices": p.n_devices, "reads_per_s": round(p.reads_per_s, 1),
+         "efficiency": round(p.efficiency, 3)} for p in pts
+    ]))
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(prog="genomeassembler_dev_tpu")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -178,6 +215,26 @@ def main(argv=None):
     p = sub.add_parser("study-gc", help="GC dependency (scripts/03)")
     _add_common(p)
     p.set_defaults(fn=cmd_study_gc)
+
+    p = sub.add_parser("fit-model", help="distil the QueryTable into the MLP")
+    p.add_argument("--platform", default=None)
+    p.add_argument("--kmer", type=int, default=8)
+    p.add_argument("--steps", type=int, default=500)
+    p.add_argument("--hidden", type=int, default=256)
+    p.add_argument("--lr", type=float, default=3e-3)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--out", default="./breakage_model.npz")
+    p.set_defaults(fn=cmd_fit_model)
+
+    p = sub.add_parser("bench-scaling", help="throughput vs device count")
+    p.add_argument("--platform", default=None)
+    p.add_argument("--devices", default="1,2,4",
+                   help="comma list of device counts")
+    p.add_argument("--segments-per-device", type=int, default=4)
+    p.add_argument("--seq-len", type=int, default=500)
+    p.add_argument("--read-len", type=int, default=12)
+    p.add_argument("--draws-per-segment", type=int, default=256)
+    p.set_defaults(fn=cmd_bench_scaling)
 
     args = ap.parse_args(argv)
     if getattr(args, "platform", None):

@@ -123,7 +123,7 @@ class Assembler:
 
     def __init__(self, config: ExperimentConfig, table: QueryTable | None = None,
                  verbose: bool = False):
-        self.config = config
+        self.config = config.validate()
         self.table = table if table is not None else load_default_query_table()
         self.uniform = QueryTable.uniform()
         self.verbose = verbose

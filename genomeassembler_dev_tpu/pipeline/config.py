@@ -44,6 +44,33 @@ class ExperimentConfig:
     def contig_cap(self) -> int:
         return self.max_contig_len or 2 * self.seq_len
 
+    def validate(self) -> "ExperimentConfig":
+        """Raise ValueError with an actionable message for invalid knob
+        combinations (the reference would fail obscurely mid-pipeline)."""
+        if self.kmer not in (2, 4, 6, 8):
+            raise ValueError(f"kmer must be one of 2/4/6/8 (got {self.kmer})")
+        if not 2 <= self.dbg_kmer <= 31:
+            raise ValueError(
+                f"dbg_kmer must be in 2..31 (got {self.dbg_kmer}; 62-bit code limit)"
+            )
+        if self.read_len < self.dbg_kmer:
+            raise ValueError(
+                f"read_len {self.read_len} < dbg_kmer {self.dbg_kmer}: reads "
+                "contain no dBG k-mers"
+            )
+        if self.seq_len < max(self.read_len, self.kmer):
+            raise ValueError(
+                f"seq_len {self.seq_len} shorter than read_len/kmer: no "
+                "breakpoints can be sampled"
+            )
+        if self.traversal == "biased" and self.dbg_kmer < 9:
+            raise ValueError("biased traversal needs dbg_kmer >= 9 (octamer junctions)")
+        if self.traversal not in ("standard", "biased"):
+            raise ValueError(f"unknown traversal {self.traversal!r}")
+        if self.n_orderings < 1:
+            raise ValueError("n_orderings must be >= 1")
+        return self
+
     def param_string(self) -> str:
         """The reference's artifact parameter string
         (lib/DeNovoAssembler.R:280-308)."""

@@ -114,3 +114,45 @@ class TestVelvetCLI:
         ])
         out = json.loads(capsys.readouterr().out)
         assert out["ran"] == 2
+
+
+class TestConfigValidation:
+    def test_invalid_kmer(self):
+        import pytest as _pytest
+
+        from genomeassembler_dev_tpu.pipeline.assembler import Assembler
+
+        with _pytest.raises(ValueError, match="kmer"):
+            Assembler(ExperimentConfig(kmer=5))
+
+    def test_read_shorter_than_dbg(self):
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="read_len"):
+            ExperimentConfig(read_len=8, dbg_kmer=9).validate()
+
+    def test_dbg_limit(self):
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="dbg_kmer"):
+            ExperimentConfig(read_len=40, dbg_kmer=32).validate()
+
+    def test_valid_passes(self):
+        cfg = ExperimentConfig(seq_len=300, read_len=12, dbg_kmer=9)
+        assert cfg.validate() is cfg
+
+
+class TestNewCLICommands:
+    def test_fit_model(self, tmp_path, capsys):
+        cli.main(["fit-model", "--platform", "cpu", "--steps", "30",
+                  "--hidden", "32", "--out", str(tmp_path / "m.npz")])
+        out = json.loads(capsys.readouterr().out)
+        assert out["loss_last"] < out["loss_first"]
+        assert os.path.exists(out["checkpoint"])
+
+    def test_bench_scaling(self, capsys):
+        cli.main(["bench-scaling", "--platform", "cpu", "--devices", "1,2",
+                  "--segments-per-device", "2", "--seq-len", "200",
+                  "--draws-per-segment", "32"])
+        out = json.loads(capsys.readouterr().out)
+        assert len(out) == 2 and out[0]["efficiency"] == 1.0
