@@ -120,9 +120,14 @@ def dedup_reads(read_codes: np.ndarray, valid: np.ndarray):
     """Distinct reads with multiplicities (ref: lib/DeNovoAssembler.cpp:333-337
     — scores are driven by counts of distinct reads, not raw reads).
 
+    Reads containing non-ACGT codes are dropped here: downstream packed-word
+    matching masks codes to 2 bits, which would silently alias N to T.
+
     Host-side: np.unique over a bytes view. Returns (unique_codes [U, R],
     counts [U] int32)."""
-    arr = np.ascontiguousarray(np.asarray(read_codes)[np.asarray(valid)])
+    read_codes = np.asarray(read_codes)
+    valid = np.asarray(valid) & (read_codes <= 3).all(axis=1)
+    arr = np.ascontiguousarray(read_codes[valid])
     if arr.size == 0:
         return arr.reshape(0, read_codes.shape[1]), np.zeros(0, np.int32)
     view = arr.view([("", arr.dtype)] * arr.shape[1]).ravel()

@@ -163,3 +163,13 @@ class TestBreakscoreDevice:
             jnp.asarray(QueryTable.uniform().combined, jnp.float32),
         )
         assert np.isclose(float(out.bp_score[0]), 3 / TOTAL, rtol=1e-5)
+
+
+def test_dedup_drops_invalid_base_reads():
+    from genomeassembler_dev_tpu.sim.reads import dedup_reads
+
+    codes = np.array([[0, 1, 2], [0, 255, 2], [0, 1, 2]], np.uint8)
+    valid = np.ones(3, bool)
+    uniq, counts = dedup_reads(codes, valid)
+    assert uniq.tolist() == [[0, 1, 2]]
+    assert counts.tolist() == [2]
