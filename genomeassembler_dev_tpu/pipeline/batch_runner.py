@@ -133,10 +133,17 @@ def run_experiments_batched(
     results: list[ExperimentResult | None] = [None] * B
     with timer.stage("Evaluating de novo assembled solutions (batched)"):
         for shape_key, members in groups.items():
-            # the matcher materialises ~[G, S, P, read_chunk] compare buffers;
-            # scale the vmap width down as the solution bucket grows
+            # the matcher materialises ~[G, S, P, read_chunk] compare buffers
+            # plus [G, S, 69904] count matrices; be blunt about HBM
             S_bucket = shape_key[0][0]
-            group = max(1, min(score_group, 4096 // max(S_bucket, 1)))
+            if S_bucket <= 128:
+                group = min(score_group, 8)
+            elif S_bucket <= 256:
+                group = min(score_group, 4)
+            elif S_bucket <= 512:
+                group = min(score_group, 2)
+            else:
+                group = 1
             for lo in range(0, len(members), group):
                 chunk = members[lo : lo + group]
                 # pad partial groups (repeat first member) to keep one shape
