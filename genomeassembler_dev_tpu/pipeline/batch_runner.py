@@ -125,6 +125,19 @@ def run_experiments_batched(
             break_kmer=cfg.kmer, read_chunk=cfg.read_chunk,
         )
     ))
+
+    def ks_chunked(path_freq, tr, chunk=256):
+        """KS in solution-row chunks: the pooled sort needs three f32
+        operands of [rows, 70k]; full-S at once OOMs HBM for big buckets."""
+        G, S, _ = path_freq.shape
+        outs = []
+        for lo in range(0, S, chunk):
+            sl = path_freq[:, lo : lo + chunk]
+            if sl.shape[1] < chunk:
+                sl = jnp.pad(sl, ((0, 0), (0, chunk - sl.shape[1]), (0, 0)),
+                             constant_values=jnp.nan)
+            outs.append(np.asarray(ks_fn(sl, tr)))
+        return np.concatenate(outs, axis=1)[:, :S]
     lev_fn = jax.jit(jax.vmap(
         lambda pm, pl, g: batched_levenshtein(pm, pl, g, mode="NW")
     ))
@@ -157,7 +170,7 @@ def run_experiments_batched(
                 tr = jnp.asarray(np.stack([tracks[b] for b in chunk]))
                 bs = score_fn(pm, pl, rc, rn, rv)
                 lev = np.asarray(lev_fn(pm, pl, gm))
-                ks = np.asarray(ks_fn(bs.path_freq, tr))
+                ks = ks_chunked(bs.path_freq, tr)
                 bp_rand = np.asarray(dot_f32(bs.site_counts, uni_all))
                 total = np.maximum(np.asarray(bs.kmer_breaks), 1).astype(np.float32)
                 bp_rand_nb = np.asarray(
