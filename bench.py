@@ -132,12 +132,18 @@ def main():
         assert tpu_contigs == cpp_contigs, "TPU contigs != native contigs"
         log(f"correctness: {len(tpu_contigs)} contigs match native engine")
 
+    # NB: on the tunneled backend block_until_ready can return before the
+    # device finishes — a host fetch of one output element is the only
+    # reliable sync, and dispatch overhead (~1 ms RTT) is amortized over REPS
+    REPS = 10
     times = []
-    for _ in range(7):
+    for _ in range(3):
         t0 = time.perf_counter()
-        jax.block_until_ready(step(read_codes, read_valid))
-        times.append(time.perf_counter() - t0)
-    t_tpu = statistics.median(times)
+        for _ in range(REPS):
+            out = step(read_codes, read_valid)
+        _ = np.asarray(out[0][0])
+        times.append((time.perf_counter() - t0) / REPS)
+    t_tpu = min(times)
     tpu_rps = n_reads_total / t_tpu
     log(f"tpu: {t_tpu * 1e3:.2f} ms/batch -> {tpu_rps:,.0f} reads/s")
 
@@ -150,11 +156,13 @@ def main():
             ["".join("ACGT"[c] for c in row) for row, ok in zip(cs, vs) if ok]
             for cs, vs in zip(codes_np, valid_np)
         ]
-        t0 = time.perf_counter()
-        for reads in reads_by_seg:
-            native.count_kmers_native(reads, 8)
-            native.contigs_from_reads_native(reads, DBG_K)
-        t_cpp = time.perf_counter() - t0
+        t_cpp = float("inf")  # best-of-3: host load must not inflate our ratio
+        for _ in range(3):
+            t0 = time.perf_counter()
+            for reads in reads_by_seg:
+                native.count_kmers_native(reads, 8)
+                native.contigs_from_reads_native(reads, DBG_K)
+            t_cpp = min(t_cpp, time.perf_counter() - t0)
         cpp_rps = n_reads_total / t_cpp
         log(f"cpp 1-core: {t_cpp * 1e3:.1f} ms -> {cpp_rps:,.0f} reads/s")
         vs_baseline = tpu_rps / cpp_rps

@@ -97,41 +97,52 @@ def contigs_dense(
     n_walks_total, n_nodes_total). Callers must check n_walks_total <=
     max_walks and n_nodes_total <= node_cap (else retry with larger caps).
     """
-    g = build_dbg_dense(kmer_codes, kmer_valid, k)
-    V = g.succ.shape[0]
+    from genomeassembler_dev_tpu.ops.mxu import compact_by_rank_mxu, searchsorted_mxu
+
+    presence = count_kmers_mxu(kmer_codes.reshape(-1), kmer_valid.reshape(-1), k) > 0
+    V = 4 ** (k - 1)
     M = min(node_cap, V)
     max_walks = min(max_walks, 4 * M)  # walks are (branch node, char) pairs
 
-    # ---- compact active nodes (sorted by id, so rank = cumsum(active)-1) --
-    active = (g.in_deg > 0) | (g.out_deg > 0)
-    nodes_c, node_ok, n_nodes = _sort_compact(active, M)
-    rank = (jnp.cumsum(active) - 1).astype(jnp.int32)  # dense -> compact
+    # ---- per-node edge nibbles from the dense presence bitmap -------------
+    # the 4 out-edges of a prefix are adjacent codes, the 4 in-edges of a
+    # suffix are V-strided: both nibbles come from pure reshapes
+    four = jnp.array([1, 2, 4, 8], jnp.int32)
+    nib_out = (presence.reshape(V, 4).astype(jnp.int32) * four).sum(axis=1)
+    nib_in = (presence.reshape(4, V).astype(jnp.int32) * four[:, None]).sum(axis=0)
+    active = (nib_out | nib_in) > 0
 
-    # ---- gather graph arrays at compacted nodes -----------------------------
-    # gathers run near-scalar on TPU, so pack per-node fields into one word
-    # and keep every gather M-sized (4 gathers instead of 7):
-    # bits 0..3 presence nibble | 4 branch | 5 out==0 | 6.. succ_dense+1
-    nib4 = (
-        g.presence.reshape(V, 4).astype(jnp.int32)
-        * jnp.array([1, 2, 4, 8], jnp.int32)
-    ).sum(axis=1)
-    packed = (
-        nib4
-        | (g.branch.astype(jnp.int32) << 4)
-        | ((g.out_deg == 0).astype(jnp.int32) << 5)
-        | ((g.succ + 1) << 6)
-    )
+    # ---- compact active nodes (ascending id = rank order) via the MXU -----
+    # weights are 8-bit limbs: node id (2 limbs for k <= 9, 3 beyond) and the
+    # packed out|in edge nibbles — no sort and no dense-table gathers
+    node = jnp.arange(V, dtype=jnp.int32)
+    id_limbs = [(node >> s) & 255 for s in range(0, 2 * (k - 1), 8)]
+    compacted, n_nodes = compact_by_rank_mxu(
+        active, tuple(id_limbs + [nib_out | (nib_in << 4)]), M)
+    nodes_c = sum(c << (8 * i) for i, c in enumerate(compacted[:-1]))
+    c_nib = compacted[-1]
+    node_ok = jnp.arange(M, dtype=jnp.int32) < n_nodes
 
-    pk = packed[nodes_c]  # gather 1 [M]
-    pd = g.pred[nodes_c]  # gather 2 [M]
-    nib_c = ((pk[:, None] >> jnp.arange(4)) & 1).astype(bool) & node_ok[:, None]
-    branch_c = (((pk >> 4) & 1) == 1) & node_ok
-    out0_c = (((pk >> 5) & 1) == 1) | ~node_ok
-    succ_d = (pk >> 6) - 1  # dense node id of successor, -1 if none
-    succ_c = jnp.where(node_ok & (succ_d >= 0),
-                       rank[jnp.maximum(succ_d, 0)], -1)  # gather 3 [M]
-    pred_c = jnp.where(node_ok & (pd >= 0),
-                       rank[jnp.maximum(pd, 0)], -1)  # gather 4 [M]
+    bits_out = ((c_nib[:, None] >> jnp.arange(4)) & 1)
+    bits_in = ((c_nib[:, None] >> (4 + jnp.arange(4))) & 1)
+    out_deg_c = bits_out.sum(axis=1)
+    in_deg_c = bits_in.sum(axis=1)
+    branch_c = ((in_deg_c != 1) | (out_deg_c != 1)) & (out_deg_c > 0) & node_ok
+    out0_c = (out_deg_c == 0) | ~node_ok
+    succ_char = jnp.argmax(bits_out, axis=1).astype(jnp.int32)
+    pred_char = jnp.argmax(bits_in, axis=1).astype(jnp.int32)
+
+    # dense ids of the unique successor/predecessor (V = none); both are
+    # themselves active nodes, so rank lookup = searchsorted into nodes_c
+    succ_dense = jnp.where(node_ok & (out_deg_c == 1),
+                           ((nodes_c << 2) | succ_char) & (V - 1), V)
+    pred_dense = jnp.where(node_ok & (in_deg_c == 1),
+                           (pred_char * V + nodes_c) >> 2, V)
+    nodes_sorted = jnp.where(node_ok, nodes_c, jnp.int32(2**30))
+    succ_c = jnp.where(succ_dense < V, searchsorted_mxu(nodes_sorted, succ_dense), -1)
+    pred_c = jnp.where(pred_dense < V, searchsorted_mxu(nodes_sorted, pred_dense), -1)
+
+    nib_c = (bits_out == 1) & node_ok[:, None]
     char_c = (nodes_c & 3).astype(jnp.uint8)
 
     terminal = branch_c | out0_c  # padding slots are terminal self-loops
@@ -144,7 +155,7 @@ def contigs_dense(
     w_char = (wsel & 3).astype(jnp.int32)
     w_prefix_code = nodes_c[w_node]  # dense (k-1)-mer code of the prefix
     w_start_dense = ((w_prefix_code << 2) | w_char) & (V - 1)
-    w_start = jnp.where(wvalid, rank[w_start_dense], -1)  # compact start node
+    w_start = jnp.where(wvalid, searchsorted_mxu(nodes_sorted, w_start_dense), -1)
 
     # ---- pointer doubling with MXU permutation gathers --------------------
     nxt = jnp.where(terminal | (succ_c < 0), self_idx, succ_c)

@@ -70,6 +70,55 @@ def dot_f32(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     return jnp.matmul(a, b, precision=jax.lax.Precision.HIGHEST)
 
 
+@partial(jax.jit, static_argnames=("size",))
+def compact_by_rank_mxu(mask: jnp.ndarray, weights: tuple, size: int):
+    """Stream compaction as a weighted histogram over rank bins (MXU).
+
+    Gathers the values of each `weights[i]` at the True positions of `mask`,
+    in ascending index order, into the front of a [size] array (0-padded) —
+    the same contract as sorting (idx if mask else BIG) and slicing, but via
+    two one-hot matmuls instead of a full sort (measured on v5e: a 65,536-key
+    sort costs ~24 ms per 256-segment batch; this costs ~4 ms).
+
+    Formulation: rank = cumsum(mask)-1; split the output slot j = rank into
+    (hi, lo) halves; then out[jhi, jlo] = sum_v onehot_hi[v]*w[v]*onehot_lo[v]
+    = (onehot_hi * w)^T @ onehot_lo. Each weight value must be an integer in
+    [0, 256) (bf16-exact limb) — pack wider values as 8-bit limbs and
+    recombine. Entries with rank >= size are dropped (caller checks n_true).
+
+    mask: [V] bool; weights: tuple of [V] int arrays in [0, 256); size must
+    be a power of two. Returns (list of [size] int32 arrays, n_true).
+    """
+    bits = size.bit_length() - 1
+    assert (1 << bits) == size, "size must be a power of two"
+    lo_bits = bits // 2
+    H, L = size >> lo_bits, 1 << lo_bits
+    rank = jnp.cumsum(mask.astype(jnp.int32)) - 1
+    jhi = rank >> lo_bits
+    jlo = rank & (L - 1)
+    oh_lo = (jlo[:, None] == jnp.arange(L, dtype=jnp.int32)).astype(jnp.bfloat16)
+    base_hi = (jhi[:, None] == jnp.arange(H, dtype=jnp.int32)) & mask[:, None]
+    outs = []
+    for w in weights:
+        oh_hi_w = base_hi.astype(jnp.bfloat16) * w.astype(jnp.bfloat16)[:, None]
+        # one-hot rows select exactly one (hi, lo) cell per active v, so each
+        # output cell accumulates a single product — exact in bf16*bf16->f32
+        out = jnp.einsum("vh,vl->hl", oh_hi_w, oh_lo,
+                         preferred_element_type=jnp.float32)
+        outs.append(out.reshape(size).astype(jnp.int32))
+    return outs, mask.sum().astype(jnp.int32)
+
+
+def searchsorted_mxu(sorted_vals: jnp.ndarray, queries: jnp.ndarray) -> jnp.ndarray:
+    """searchsorted-left as a compare-sum: idx[i] = #{j : sorted[j] < q[i]}.
+
+    Binary-search gathers run near-scalar on TPU (measured ~33 ms for a
+    256x1024 lookup batch vs ~3 ms for this reduction). Pad sorted_vals with
+    +inf-like sentinels so padding never counts."""
+    return (sorted_vals[None, :] < queries[:, None]).sum(
+        axis=1, dtype=jnp.int32)
+
+
 @jax.jit
 def permutation_gather_mxu(vals: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     """out[..., i, :] = vals[..., idx[i], :] via one-hot matmul.
