@@ -94,20 +94,37 @@ def main():
     n_reads_total = int(np.asarray(read_valid).sum())
     log(f"{n_reads_total} reads total ({B} segments x ~{n_reads_total // B})")
 
-    # --- TPU step: fused dense dBG + walk + octamer count -------------------
+    # --- TPU step: read dedup + fused dense dBG + walk + octamer count ------
+    # dedup-with-counts first (the reference's own scoring-side move,
+    # cpp:333-337): distinct reads <= seq_len - read_len + 1 = 989, so every
+    # downstream histogram shrinks ~3.5x; octamer counts are multiplicity-
+    # weighted and therefore identical to counting every read.
+    U_CAP = 1024
+    from genomeassembler_dev_tpu.ops.dedup import (
+        dedup_with_counts, pack_read_codes, unpack_kmer_windows)
+    from genomeassembler_dev_tpu.ops.mxu import bincount_mxu
+
     def per_segment(codes, valid):
-        kc, kv = kmer_window_codes(codes, DBG_K)
-        kv = kv & valid[:, None]
+        packed = pack_read_codes(codes, valid)
+        ucodes, ucounts, n_u = dedup_with_counts(packed, U_CAP)
+        uvalid = jnp.arange(U_CAP, dtype=jnp.int32) < n_u
+        kc = unpack_kmer_windows(ucodes, READ_LEN, DBG_K)
+        kv = jnp.broadcast_to(uvalid[:, None], kc.shape)
         buf, lens, wvalid, overflow, n_walks, n_nodes = contigs_dense(
             kc, kv, DBG_K, MAX_LEN, MAX_WALKS
         )
-        oc, ocv = kmer_window_codes(codes, 8)
-        ocv = ocv & valid[:, None]
-        counts8 = count_kmers_mxu(oc.reshape(-1), ocv.reshape(-1), 8)
+        oc = unpack_kmer_windows(ucodes, READ_LEN, 8)
+        counts8 = bincount_mxu(
+            oc.reshape(-1),
+            jnp.broadcast_to(uvalid[:, None], oc.shape).reshape(-1),
+            4**8,
+            jnp.broadcast_to(ucounts[:, None], oc.shape).reshape(-1),
+        )
         return (
             jnp.where(wvalid, lens, 0).sum(),
             n_walks,
             counts8.sum(),
+            n_u,
         )
 
     step = jax.jit(jax.vmap(per_segment))
@@ -116,8 +133,13 @@ def main():
     out = step(read_codes, read_valid)
     jax.block_until_ready(out)
     log(f"sanity: walks/segment ~{int(np.asarray(out[1]).mean())}, "
-        f"contig chars/segment ~{int(np.asarray(out[0]).mean())}")
+        f"contig chars/segment ~{int(np.asarray(out[0]).mean())}, "
+        f"distinct reads/segment ~{int(np.asarray(out[3]).mean())}")
     assert (np.asarray(out[1]) <= MAX_WALKS).all(), "walk capacity exceeded"
+    assert (np.asarray(out[3]) <= U_CAP).all(), "read dedup capacity exceeded"
+    assert int(np.asarray(out[2]).sum()) == int(
+        (np.asarray(read_valid).sum(1) * (READ_LEN - 8 + 1)).sum()
+    ), "weighted octamer count != total windows"
 
     # correctness spot check: segment 0 contigs must match the native engine
     from genomeassembler_dev_tpu.dbg.assemble import contigs_from_read_codes

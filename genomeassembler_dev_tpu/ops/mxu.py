@@ -32,6 +32,54 @@ def _split_bits(total_bits: int) -> tuple[int, int]:
     return total_bits - hi, hi  # (hi_bits, lo_bits), hi >= lo
 
 
+@partial(jax.jit, static_argnames=("nbins",))
+def bincount_mxu(
+    idx: jnp.ndarray, valid: jnp.ndarray, nbins: int, weights: jnp.ndarray | None = None
+) -> jnp.ndarray:
+    """(Weighted) histogram over nbins power-of-two bins via one-hot matmul.
+
+    idx: [..., N] int32 in [0, nbins); valid: same shape bool; weights
+    (optional): same shape, non-negative integers < 2^24. Scatter-add runs
+    near-scalar on TPU; this is the MXU reformulation (module docstring).
+    Returns [..., nbins] float32 counts / weight sums (exact integers —
+    weights are split into 8-bit limbs so every matmul input is bf16-exact).
+    """
+    bits = nbins.bit_length() - 1
+    assert (1 << bits) == nbins, "nbins must be a power of two"
+    hi_bits, lo_bits = _split_bits(bits)
+    H, L = 1 << hi_bits, 1 << lo_bits
+    flat = idx.reshape(idx.shape[:-1] + (-1,))
+    v = valid.reshape(flat.shape)
+
+    hi = (flat >> lo_bits).astype(jnp.int32)
+    lo = (flat & (L - 1)).astype(jnp.int32)
+    iota_h = jnp.arange(H, dtype=jnp.int32)
+    iota_l = jnp.arange(L, dtype=jnp.int32)
+    oh_hi = (hi[..., None] == iota_h) & v[..., None]  # mask invalid rows
+    oh_lo = (lo[..., None] == iota_l).astype(jnp.bfloat16)
+
+    if weights is None:
+        limbs = [(oh_hi.astype(jnp.bfloat16), 0)]
+    else:
+        w = weights.reshape(flat.shape).astype(jnp.int32)
+        limbs = [
+            (oh_hi.astype(jnp.bfloat16)
+             * ((w >> s) & 255).astype(jnp.bfloat16)[..., None], s)
+            for s in (0, 8, 16)  # weights < 2^24, 8-bit limbs
+        ]
+    counts = 0.0
+    for oh_hi_w, shift in limbs:
+        # HIGHEST precision: exact integer accumulation must survive the
+        # TPU's bf16-pass matmul lowering (sums can exceed bf16's 256 range)
+        part = jnp.einsum(
+            "...nh,...nl->...hl", oh_hi_w, oh_lo,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        counts = counts + part * float(1 << shift)
+    return counts.reshape(idx.shape[:-1] + (H * L,))
+
+
 @partial(jax.jit, static_argnames=("k",))
 def count_kmers_mxu(codes: jnp.ndarray, valid: jnp.ndarray, k: int) -> jnp.ndarray:
     """Histogram of k-mer codes over all 4^k bins via one-hot matmul.
@@ -39,27 +87,7 @@ def count_kmers_mxu(codes: jnp.ndarray, valid: jnp.ndarray, k: int) -> jnp.ndarr
     codes: [..., N] int32 in [0, 4^k); valid: same shape bool.
     Returns [..., 4^k] float32 counts (exact integers).
     """
-    total_bits = 2 * k
-    hi_bits, lo_bits = _split_bits(total_bits)
-    H, L = 1 << hi_bits, 1 << lo_bits
-    flat = codes.reshape(codes.shape[:-1] + (-1,))
-    v = valid.reshape(flat.shape)
-
-    hi = (flat >> lo_bits).astype(jnp.int32)
-    lo = (flat & (L - 1)).astype(jnp.int32)
-    iota_h = jnp.arange(H, dtype=jnp.int32)
-    iota_l = jnp.arange(L, dtype=jnp.int32)
-    oh_hi = (hi[..., None] == iota_h).astype(jnp.bfloat16)
-    oh_hi = oh_hi * v[..., None].astype(jnp.bfloat16)  # mask invalid rows
-    oh_lo = (lo[..., None] == iota_l).astype(jnp.bfloat16)
-
-    # HIGHEST precision: exact integer accumulation must survive the TPU's
-    # bf16-pass matmul lowering (counts can exceed bf16's 256-int range)
-    counts = jnp.einsum(
-        "...nh,...nl->...hl", oh_hi, oh_lo,
-        preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST,
-    )
-    return counts.reshape(codes.shape[:-1] + (H * L,))
+    return bincount_mxu(codes, valid, 4**k)
 
 
 def dot_f32(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:

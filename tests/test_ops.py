@@ -217,3 +217,78 @@ class TestDbgDevice:
             np.stack([encode_dna(r) for r in reads]), np.ones(len(reads), bool), k, 200
         )
         assert legacy == new
+
+
+class TestDedupMXU:
+    def test_bincount_weighted_matches_numpy(self):
+        from genomeassembler_dev_tpu.ops.mxu import bincount_mxu
+
+        rng = np.random.default_rng(3)
+        idx = rng.integers(0, 64, 500)
+        valid = rng.random(500) < 0.9
+        w = rng.integers(0, 70000, 500)  # exercises all three 8-bit limbs
+        got = np.asarray(bincount_mxu(jnp.asarray(idx.astype(np.int32)),
+                                      jnp.asarray(valid), 64,
+                                      jnp.asarray(w.astype(np.int32))))
+        want = np.bincount(idx[valid], weights=w[valid], minlength=64)
+        np.testing.assert_array_equal(got, want)
+
+    def test_compact_by_rank_matches_sort(self):
+        from genomeassembler_dev_tpu.ops.mxu import compact_by_rank_mxu
+
+        rng = np.random.default_rng(4)
+        mask = rng.random(4096) < 0.1
+        vals = rng.integers(0, 2**20, 4096).astype(np.int32)
+        limbs = tuple(jnp.asarray((vals >> s) & 255) for s in (0, 8, 16))
+        outs, n = compact_by_rank_mxu(jnp.asarray(mask), limbs, 512)
+        got = sum(np.asarray(c) << (8 * i) for i, c in enumerate(outs))
+        want = vals[mask]
+        assert int(n) == want.size
+        np.testing.assert_array_equal(got[: want.size], want)
+        assert (got[want.size:] == 0).all()
+
+    def test_dedup_with_counts_matches_numpy(self):
+        from genomeassembler_dev_tpu.ops.dedup import (
+            dedup_with_counts, pack_read_codes, unpack_kmer_windows)
+
+        rng = np.random.default_rng(5)
+        reads = rng.integers(0, 4, (300, 12)).astype(np.uint8)
+        reads[::7] = reads[3]  # force duplicates
+        valid = rng.random(300) < 0.9
+        packed = pack_read_codes(jnp.asarray(reads), jnp.asarray(valid))
+        codes, counts, n = dedup_with_counts(packed, 512)
+        uq, cnt = np.unique(np.asarray(pack_read_codes(
+            jnp.asarray(reads), jnp.asarray(valid)))[valid], return_counts=True)
+        assert int(n) == uq.size
+        np.testing.assert_array_equal(np.asarray(codes)[: uq.size], uq)
+        np.testing.assert_array_equal(np.asarray(counts)[: uq.size], cnt)
+
+        # window codes from packed reads == window codes from base arrays
+        from genomeassembler_dev_tpu.ops.windows import kmer_window_codes
+        w_direct, _ = kmer_window_codes(jnp.asarray(reads), 8)
+        w_packed = unpack_kmer_windows(pack_read_codes(
+            jnp.asarray(reads), jnp.ones(300, bool)), 12, 8)
+        np.testing.assert_array_equal(np.asarray(w_direct), np.asarray(w_packed))
+
+    def test_weighted_count_equals_expanded_count(self):
+        # counting distinct reads' windows weighted by multiplicity must
+        # equal counting every read's windows (the bench-path contract)
+        from genomeassembler_dev_tpu.ops.dedup import (
+            dedup_with_counts, pack_read_codes, unpack_kmer_windows)
+        from genomeassembler_dev_tpu.ops.mxu import bincount_mxu, count_kmers_mxu
+
+        rng = np.random.default_rng(6)
+        reads = rng.integers(0, 4, (400, 12)).astype(np.uint8)
+        reads[::3] = reads[5]
+        valid = jnp.ones(400, bool)
+        full, fv = kmer_window_codes(jnp.asarray(reads), 8)
+        want = np.asarray(count_kmers_mxu(full.reshape(-1), fv.reshape(-1), 8))
+
+        packed = pack_read_codes(jnp.asarray(reads), valid)
+        codes, counts, n = dedup_with_counts(packed, 512)
+        wins = unpack_kmer_windows(codes, 12, 8)  # [512, 5]
+        ok = (jnp.arange(512) < n)[:, None] & jnp.ones((1, 5), bool)
+        got = np.asarray(bincount_mxu(
+            wins.reshape(-1), ok.reshape(-1), 4**8,
+            jnp.broadcast_to(counts[:, None], (512, 5)).reshape(-1)))
+        np.testing.assert_array_equal(got, want)
