@@ -90,13 +90,14 @@ def batched_levenshtein_auto(
     target: jnp.ndarray,
     mode: str = "NW",
 ) -> jnp.ndarray:
-    """Backend dispatch: the fused Pallas kernel on TPU (measured 1-3x the
-    XLA scan, biggest win in HW mode), the scan elsewhere. `target` must be
-    exact-length (unpadded)."""
+    """Backend dispatch: the Myers bit-vector Pallas kernel on TPU (measured
+    on v5e: 82 Gcell/s at 256x1024x1000, 800 Gcell/s at 2048x2048x50000 —
+    2.7-26x the prefix-min kernel, ~100x the XLA scan), the scan elsewhere.
+    `target` must be exact-length (unpadded)."""
     if jax.devices()[0].platform == "tpu":
-        from genomeassembler_dev_tpu.ops.pallas.edit_distance_kernel import (
-            batched_levenshtein_pallas,
+        from genomeassembler_dev_tpu.ops.pallas.myers_kernel import (
+            batched_levenshtein_myers,
         )
 
-        return batched_levenshtein_pallas(queries, query_lens, target, mode=mode)
+        return batched_levenshtein_myers(queries, query_lens, target, mode=mode)
     return batched_levenshtein(queries, query_lens, target, mode=mode)

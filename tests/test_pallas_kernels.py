@@ -61,3 +61,50 @@ class TestPallasHistogram:
         ))
         b = np.asarray(count_kmers_mxu(jnp.asarray(codes), jnp.asarray(valid), k))
         np.testing.assert_array_equal(a, b)
+
+
+class TestMyersLevenshtein:
+    @pytest.mark.parametrize("mode", ["NW", "HW"])
+    def test_vs_spec(self, mode):
+        from genomeassembler_dev_tpu.ops.pallas.myers_kernel import (
+            batched_levenshtein_myers,
+        )
+
+        rng = np.random.default_rng(0)
+        target = rand_dna(rng, 90)
+        queries = [rand_dna(rng, int(rng.integers(1, 120))) for _ in range(9)]
+        queries += [target, target[10:40]]
+        M = max(len(q) for q in queries)
+        qmat = np.zeros((len(queries), M), np.uint8)
+        qlen = np.array([len(q) for q in queries], np.int32)
+        for i, q in enumerate(queries):
+            qmat[i, : len(q)] = encode_dna(q)
+        out = np.asarray(batched_levenshtein_myers(
+            jnp.asarray(qmat), jnp.asarray(qlen), jnp.asarray(encode_dna(target)),
+            mode=mode, block_b=128, interpret=True,
+        ))
+        expect = [spec.levenshtein(q, target, mode=mode) for q in queries]
+        assert out.tolist() == expect
+
+    @pytest.mark.parametrize("mode", ["NW", "HW"])
+    def test_multiword_and_empty(self, mode):
+        # query spanning several 32-bit words + empty-query edge case
+        from genomeassembler_dev_tpu.ops.pallas.myers_kernel import (
+            batched_levenshtein_myers,
+        )
+
+        rng = np.random.default_rng(1)
+        target = rand_dna(rng, 150)
+        queries = [rand_dna(rng, 200), target + "ACGT" * 10, ""]
+        M = max(len(q) for q in queries)
+        qmat = np.zeros((len(queries), M), np.uint8)
+        qlen = np.array([len(q) for q in queries], np.int32)
+        for i, q in enumerate(queries):
+            if q:
+                qmat[i, : len(q)] = encode_dna(q)
+        out = np.asarray(batched_levenshtein_myers(
+            jnp.asarray(qmat), jnp.asarray(qlen), jnp.asarray(encode_dna(target)),
+            mode=mode, block_b=128, interpret=True,
+        ))
+        expect = [spec.levenshtein(q, target, mode=mode) for q in queries]
+        assert out.tolist() == expect
