@@ -80,9 +80,27 @@ def run_experiments_batched(
         fn = contigs_dense if cfg.dbg_kmer <= DENSE_MAX_K else contigs_sparse
         max_walks = 2048
 
+        # reads of <= 15 bases pack into one int32: dedup them on device
+        # first (distinct reads <= seq_len - read_len + 1 of the ~3.4x
+        # oversampled set), so the graph build sees ~3x fewer windows.
+        # The k-mer presence set — hence every contig — is unchanged.
+        dedup_cap = 1 << (L - cfg.read_len + 1).bit_length()
+        use_dedup = cfg.read_len <= 15 and dedup_cap <= rs.codes.shape[1] * 2
+
         def per_seg(codes, valid):
-            kc, kv = kmer_window_codes(codes, cfg.dbg_kmer)
-            kv = kv & valid[:, None]
+            if use_dedup:
+                from genomeassembler_dev_tpu.ops.dedup import (
+                    dedup_with_counts, pack_read_codes, unpack_kmer_windows)
+
+                ucodes, _, n_u = dedup_with_counts(
+                    pack_read_codes(codes, valid), dedup_cap)
+                kc = unpack_kmer_windows(ucodes, cfg.read_len, cfg.dbg_kmer)
+                kv = jnp.broadcast_to(
+                    (jnp.arange(dedup_cap, dtype=jnp.int32) < n_u)[:, None],
+                    kc.shape)
+            else:
+                kc, kv = kmer_window_codes(codes, cfg.dbg_kmer)
+                kv = kv & valid[:, None]
             return fn(kc, kv, cfg.dbg_kmer, cfg.contig_cap, max_walks)
 
         walk = jax.jit(jax.vmap(per_seg))
