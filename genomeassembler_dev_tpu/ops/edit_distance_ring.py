@@ -33,6 +33,142 @@ from jax.sharding import Mesh, PartitionSpec as P
 BIG = jnp.int32(1 << 28)
 
 
+def make_ring_levenshtein_myers(mesh: Mesh, axis: str = "read", mode: str = "NW"):
+    """Myers bit-vector variant of the ring: the query dimension is sharded
+    as 32-bit words (local slice must be a multiple of 32), each shard runs
+    the word-parallel update of ops/pallas/myers_kernel (hin/hout chain
+    resolved by a log2(W) prefix of 2-state map compositions), and the ONLY
+    cross-shard traffic is one horizontal-delta trit in {-1,0,+1} per query
+    per wavefront step — vs two DP scalars and 32x the vector work for the
+    prefix-min ring above. Returns fn(queries [B, M], query_lens [B],
+    target [N]) -> [B] int32.
+    """
+    import numpy as np
+
+    if mode not in ("NW", "HW"):
+        raise ValueError(mode)
+    n_shard = mesh.shape[axis]
+    shr = jax.lax.shift_right_logical
+    MSB = np.uint32(0x80000000)
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(None, axis), P(), P()),
+        out_specs=P(),
+        check_vma=False,
+    )
+    def run(queries, query_lens, target):
+        s = jax.lax.axis_index(axis)
+        is_first = s == 0
+        B, Ml = queries.shape
+        if Ml % 32:
+            raise ValueError(f"local query slice {Ml} not a multiple of 32")
+        Wl = Ml // 32
+        N = target.shape[0]
+        qlen = query_lens.astype(jnp.int32)
+
+        # local Peq [4, B, Wl]
+        q = queries.astype(jnp.int32).reshape(B, Wl, 32)
+        weights = jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32)
+        peq = jnp.stack([
+            ((q == c).astype(jnp.uint32) * weights).sum(-1, dtype=jnp.uint32)
+            for c in range(4)
+        ])
+
+        base = s * Ml
+        qm1 = jnp.maximum(qlen - 1, 0)
+        owner = (qm1 >= base) & (qm1 < base + Ml)  # [B]
+        wstar = jnp.clip((qm1 - base) >> 5, 0, Wl - 1)
+        bstar = ((qm1 - base) & 31).astype(jnp.uint32)
+        iota_w = jnp.broadcast_to(jnp.arange(Wl, dtype=jnp.int32), (B, Wl))
+        sel_w = (iota_w == wstar[:, None]) & owner[:, None]
+        top = iota_w == 0
+        n_scan = max(1, (Wl - 1).bit_length())
+        perm = [(i, (i + 1) % n_shard) for i in range(n_shard)]
+
+        VP0 = jnp.full((B, Wl), 0xFFFFFFFF, jnp.uint32)
+        VN0 = jnp.zeros((B, Wl), jnp.uint32)
+        best0 = jnp.where(owner, qlen, BIG)
+
+        def step(carry, t):
+            VP, VN, score, best, hin_in = carry
+            i = t - s
+            active = (i >= 1) & (i <= N)
+            tc = target[jnp.clip(i - 1, 0, N - 1)].astype(jnp.int32)
+            eq = peq[tc]
+
+            # shard 0's boundary: NW hin=+1, HW hin=0; else the ring trit
+            hneg0 = jnp.where(is_first, False, hin_in < 0)  # [B]
+            hpos0 = jnp.where(is_first, mode == "NW", hin_in > 0)
+
+            def flow(EqV):
+                D0 = (((EqV & VP) + VP) ^ VP) | EqV | VN
+                HP = VN | ~(D0 | VP)
+                HN = VP & D0
+                return D0, HP, HN
+
+            D0a, HPa, HNa = flow(eq)
+            D0b, HPb, HNb = flow(eq | jnp.uint32(1))
+
+            A = (HNa & MSB) != 0
+            Bn = (HNb & MSB) != 0
+            for sft in [1 << p for p in range(n_scan)]:
+                A_prev = jnp.roll(A, sft, axis=1)
+                B_prev = jnp.roll(Bn, sft, axis=1)
+                valid = iota_w >= sft
+                A_new = jnp.where(valid & A_prev, Bn, A)
+                B_new = jnp.where(valid & B_prev, Bn, A)
+                A, Bn = A_new, B_new
+            # hout signs for both boundary hypotheses; select per query
+            hout_sign = jnp.where(hneg0[:, None], Bn, A)
+            sw = jnp.roll(hout_sign, 1, axis=1)
+            sw = jnp.where(top, hneg0[:, None], sw)
+
+            D0 = jnp.where(sw, D0b, D0a)
+            HP = jnp.where(sw, HPb, HPa)
+            HN = jnp.where(sw, HNb, HNa)
+
+            hp_msb = (HP & MSB) != 0
+            hn_msb = (HN & MSB) != 0
+            hin_pos = jnp.roll(hp_msb, 1, axis=1)
+            hin_pos = jnp.where(top, hpos0[:, None], hin_pos)
+            HPs = (HP << 1) | hin_pos.astype(jnp.uint32)
+            HNs = (HN << 1) | sw.astype(jnp.uint32)
+            VP_new = HNs | ~(D0 | HPs)
+            VN_new = HPs & D0
+            VP = jnp.where(active, VP_new, VP)
+            VN = jnp.where(active, VN_new, VN)
+
+            dpos = (((shr(HP, bstar[:, None]) & 1) != 0) & sel_w).any(1)
+            dneg = (((shr(HN, bstar[:, None]) & 1) != 0) & sel_w).any(1)
+            score = score + jnp.where(active & dpos, 1, 0) \
+                          - jnp.where(active & dneg, 1, 0)
+            row_end = jnp.where(owner, score, BIG)
+            if mode == "HW":
+                best = jnp.where(active, jnp.minimum(best, row_end), best)
+            else:
+                best = jnp.where(active, row_end, best)
+
+            hout = (hp_msb[:, -1].astype(jnp.int32)
+                    - hn_msb[:, -1].astype(jnp.int32))
+            hin_next = jax.lax.ppermute(
+                jnp.where(active, hout, 0), axis, perm)
+            return (VP, VN, score, best, hin_next), None
+
+        init = (VP0, VN0, qlen, best0, jnp.zeros((B,), jnp.int32))
+        (VP, VN, score, best, _), _ = jax.lax.scan(
+            step, init, jnp.arange(1, N + n_shard + 1))
+        return jax.lax.pmin(best, axis)
+
+    def fn(queries, query_lens, target):
+        res = run(queries, query_lens, target)
+        empty = query_lens.astype(jnp.int32) <= 0
+        return jnp.where(empty, 0 if mode == "HW" else target.shape[0], res)
+
+    return fn
+
+
 def make_ring_levenshtein(mesh: Mesh, axis: str = "read", mode: str = "NW"):
     """Returns fn(queries [B, M], query_lens [B], target [N]) -> [B] int32,
     with the query dimension M sharded over `axis` (M divisible by its size).
