@@ -147,9 +147,11 @@ def batched_levenshtein_myers(
     B, M = queries.shape
     N = target.shape[0]
     W = max(1, -(-M // 32))
-    # VMEM: ~18 live [W, TB] u32 buffers (4 peq + 2 state + temps)
-    fit = max(128, (100_000_000 // (18 * 4 * W)) // 128 * 128)
-    TB = min(block_b, fit)
+    # VMEM: ~18 live [W, TB] u32 buffers (4 peq + 2 state + temps); budget
+    # 64MB of the 128MB VMEM (Mosaic's default 16MB scoped limit is raised
+    # via compiler params below)
+    fit = (64_000_000 // (18 * 4 * W)) // 128 * 128  # lane-dim multiple
+    TB = max(128, min(block_b, fit))
     Bp = _round_up(B, TB)
 
     peq = jnp.zeros((4, W, Bp), jnp.uint32).at[:, :, :B].set(
@@ -174,6 +176,8 @@ def batched_levenshtein_myers(
             pltpu.VMEM((1, TB), jnp.int32),
         ],
         interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
     )(peq, ql, t)
     res = out[0, :B]
     # empty queries: NW distance = target length, HW distance = 0

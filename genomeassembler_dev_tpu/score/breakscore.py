@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 
 from genomeassembler_dev_tpu.core.querytable import OFFSETS, TOTAL
-from genomeassembler_dev_tpu.ops.match import find_first_match
+from genomeassembler_dev_tpu.ops.match import find_first_match_auto
 from genomeassembler_dev_tpu.ops.windows import kmer_window_codes
 from genomeassembler_dev_tpu.ops.mxu import dot_f32
 
@@ -60,8 +60,8 @@ def breakscore(
     read_chunk: int = 512,
 ) -> BreakScores:
     S, L = path_codes.shape
-    found, first = find_first_match(path_codes, path_lens, read_codes, read_valid,
-                                    read_chunk=read_chunk)
+    found, first = find_first_match_auto(path_codes, path_lens, read_codes,
+                                         read_valid, read_chunk=read_chunk)
 
     # break-site combined-table index per (solution, read)
     pos = first  # [S, U]
