@@ -26,12 +26,14 @@ def pack_read_codes(codes: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
     """Pack base codes [..., N, R] (R <= 15) big-endian into int32 [..., N].
 
     Invalid reads (valid False) map to a sentinel that sorts after every
-    packed read. Bases must be 0..3 (drop non-ACGT reads beforehand)."""
+    packed read. Reads containing non-ACGT codes (> 3) are treated as
+    invalid here — masking them with `& 3` would silently alias N to T."""
     R = codes.shape[-1]
     if R > 15:
         raise ValueError(f"read length {R} > 15 does not fit an int32 pack")
     shifts = jnp.arange(R - 1, -1, -1, dtype=jnp.int32) * 2
     packed = ((codes.astype(jnp.int32) & 3) << shifts).sum(axis=-1)
+    valid = valid & (codes <= 3).all(axis=-1)
     return jnp.where(valid, packed, _SENTINEL)
 
 

@@ -28,7 +28,7 @@ from genomeassembler_dev_tpu.dbg.assemble import DENSE_MAX_K, dedup_contigs
 from genomeassembler_dev_tpu.dbg.dense import contigs_dense
 from genomeassembler_dev_tpu.dbg.graph import contigs_sparse
 from genomeassembler_dev_tpu.merge.engine import assemble_solutions
-from genomeassembler_dev_tpu.ops.edit_distance import batched_levenshtein
+from genomeassembler_dev_tpu.ops.edit_distance import batched_levenshtein_auto
 from genomeassembler_dev_tpu.ops.ks import batched_ks_2samp
 from genomeassembler_dev_tpu.ops.mxu import dot_f32
 from genomeassembler_dev_tpu.ops.windows import kmer_window_codes
@@ -101,14 +101,22 @@ def run_experiments_batched(
             else:
                 kc, kv = kmer_window_codes(codes, cfg.dbg_kmer)
                 kv = kv & valid[:, None]
-            return fn(kc, kv, cfg.dbg_kmer, cfg.contig_cap, max_walks)
+                n_u = jnp.int32(0)
+            return fn(kc, kv, cfg.dbg_kmer, cfg.contig_cap, max_walks) + (n_u,)
 
         walk = jax.jit(jax.vmap(per_seg))
-        bufs, lens, wvalid, ovf, n_walks, n_nodes = [
+        bufs, lens, wvalid, ovf, n_walks, n_nodes, n_u = [
             np.asarray(x) for x in walk(rs.codes, rs.valid)
         ]
         if (n_walks > max_walks).any():
             raise ValueError("walk capacity exceeded; raise max_walks")
+        if (n_u > dedup_cap).any():
+            # compact_by_rank_mxu silently drops reads with rank >= cap, which
+            # would corrupt contigs; cap is sized for exact-substring reads,
+            # so overflow means that assumption broke (e.g. read errors).
+            raise ValueError(
+                f"read dedup capacity exceeded ({int(n_u.max())} > {dedup_cap})"
+            )
         contig_sets = [
             dedup_contigs(bufs[b], lens[b], wvalid[b], ovf[b]) for b in range(B)
         ]
@@ -156,9 +164,15 @@ def run_experiments_batched(
                              constant_values=jnp.nan)
             outs.append(np.asarray(ks_fn(sl, tr)))
         return np.concatenate(outs, axis=1)[:, :S]
-    lev_fn = jax.jit(jax.vmap(
-        lambda pm, pl, g: batched_levenshtein(pm, pl, g, mode="NW")
-    ))
+    def lev_fn(pm, pl, gm):
+        # per-member calls so the TPU path uses the Myers bit-vector Pallas
+        # kernel (batched_levenshtein_auto needs one exact-length target);
+        # groups are small (<= 8) so dispatch overhead is negligible.
+        return np.stack([
+            np.asarray(batched_levenshtein_auto(pm[gi], pl[gi], gm[gi],
+                                                mode="NW"))
+            for gi in range(pm.shape[0])
+        ])
     ks_fn = jax.jit(jax.vmap(batched_ks_2samp))
 
     results: list[ExperimentResult | None] = [None] * B

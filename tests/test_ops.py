@@ -134,6 +134,54 @@ class TestMatch:
         assert int(first[0, 0]) == p.find(reads[0])
         assert int(first[0, 1]) == 77 or p.find(reads[1]) == int(first[0, 1])
 
+    def test_sorted_equals_grid(self):
+        """find_first_match_sorted == find_first_match on adversarial inputs:
+        padded paths, duplicate reads, invalid read slots, and all-T reads /
+        windows (whose packed word collides with the 0xFFFFFFFF pad-window
+        sentinel in _window_words)."""
+        from genomeassembler_dev_tpu.ops.match import find_first_match_sorted
+
+        rng = np.random.default_rng(11)
+        for read_len in (12, 16, 40):  # 1 word w/ slack, exact word, 3 words
+            paths = [rand_dna(rng, int(rng.integers(50, 120))) for _ in range(5)]
+            # plant an all-T stretch so some windows are all-T
+            paths[0] = paths[0][:10] + "T" * 30 + paths[0][40:]
+            reads = []
+            for _ in range(24):
+                r = rng.random()
+                if r < 0.5:
+                    p = paths[int(rng.integers(len(paths)))]
+                    start = int(rng.integers(0, len(p) - read_len + 1))
+                    reads.append(p[start : start + read_len])
+                elif r < 0.7:
+                    reads.append("T" * read_len)  # all-T read
+                else:
+                    reads.append(rand_dna(rng, read_len))
+            reads += reads[:4]  # duplicates
+            L = max(len(p) for p in paths) + 17  # pad beyond longest path
+            pmat = np.full((len(paths), L), 255, np.uint8)
+            plen = np.array([len(p) for p in paths], np.int32)
+            for i, p in enumerate(paths):
+                pmat[i, : len(p)] = encode_dna(p)
+            rmat = np.stack([encode_dna(r) for r in reads])
+            rvalid = np.ones(len(reads), bool)
+            rvalid[3] = rvalid[10] = False  # invalid slots interleaved
+            args = (jnp.asarray(pmat), jnp.asarray(plen), jnp.asarray(rmat),
+                    jnp.asarray(rvalid))
+            f_g, p_g = (np.asarray(x) for x in find_first_match(*args))
+            f_s, p_s = (np.asarray(x) for x in find_first_match_sorted(*args))
+            np.testing.assert_array_equal(f_s, f_g, err_msg=f"rl={read_len}")
+            np.testing.assert_array_equal(
+                np.where(f_s, p_s, 0), np.where(f_g, p_g, 0),
+                err_msg=f"rl={read_len}")
+            # cross-check a few against str.find
+            for i, p in enumerate(paths):
+                for j, r in enumerate(reads):
+                    want = p.find(r) if rvalid[j] else -1
+                    assert f_s[i, j] == (want != -1)
+                    if want != -1:
+                        assert p_s[i, j] == want
+
 
 class TestKS:
     def test_vs_spec(self):
@@ -269,6 +317,19 @@ class TestDedupMXU:
         w_packed = unpack_kmer_windows(pack_read_codes(
             jnp.asarray(reads), jnp.ones(300, bool)), 12, 8)
         np.testing.assert_array_equal(np.asarray(w_direct), np.asarray(w_packed))
+
+    def test_pack_read_codes_rejects_non_acgt(self):
+        # an N (code 255) anywhere in the read must invalidate the whole
+        # read — masking with & 3 would silently alias it to T
+        from genomeassembler_dev_tpu.ops.dedup import _SENTINEL, pack_read_codes
+
+        reads = np.zeros((3, 12), np.uint8)
+        reads[1, 9] = 255  # N past the first octamer
+        reads[2, 0] = 4
+        packed = np.asarray(pack_read_codes(
+            jnp.asarray(reads), jnp.ones(3, bool)))
+        assert packed[0] == 0
+        assert packed[1] == int(_SENTINEL) and packed[2] == int(_SENTINEL)
 
     def test_weighted_count_equals_expanded_count(self):
         # counting distinct reads' windows weighted by multiplicity must
