@@ -16,7 +16,9 @@ import numpy as np
 
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 _NATIVE_DIR = os.path.join(_REPO_ROOT, "native")
-_SO_PATH = os.path.join(_NATIVE_DIR, "libgadev.so")
+# GADEV_SO overrides the library path (the sanitizer test lane points it at
+# the ASan/UBSan build, tests/test_sanitizers.py)
+_SO_PATH = os.environ.get("GADEV_SO", os.path.join(_NATIVE_DIR, "libgadev.so"))
 
 _lock = threading.Lock()
 _lib = None

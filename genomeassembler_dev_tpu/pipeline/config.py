@@ -22,7 +22,11 @@ class ExperimentConfig:
     only_kmers_from_reads: bool = False
     save_read_files: bool = True
     action: str = "ratio"  # reference declares but never uses "zscore"
-    n_orderings: int = 10000  # 20000 on the industry-standard path
+    n_orderings: int = 10000
+    # the industry-standard path shuffles 20,000 orderings inside its merge
+    # (lib/BreakageScorer.cpp:85-94); None = that default, set explicitly to
+    # override (an explicit 10,000 is expressible here, unlike a sentinel)
+    velvet_n_orderings: int | None = None
     merge_backend: str = "auto"  # native | spec | device | auto
     read_chunk: int = 512
     max_contig_len: int | None = None  # default: 2 * seq_len

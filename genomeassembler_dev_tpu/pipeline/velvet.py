@@ -107,7 +107,7 @@ class IndustryAssembler(Assembler):
         }
 
         with timer.stage("Merging shuffled contig orderings (velvet path)"):
-            n_ord = cfg.n_orderings if cfg.n_orderings != 10000 else 20000
+            n_ord = cfg.velvet_n_orderings or 20000
             solutions = assemble_solutions(
                 external_contigs, cfg.dbg_kmer, cfg.seed, n_ord,
                 backend=cfg.merge_backend,

@@ -76,10 +76,13 @@ def breakscore(
     off = offsets[(ek >> 1) - 1]
     combined_idx = off + site_code
 
-    # scatter-add read multiplicities into per-solution break counts
+    # scatter-add read multiplicities into per-solution break counts;
+    # unmatched reads carry weight 0, so routing them to index 0 is a no-op
+    # add (keeps every index in range: the scorer is checkify-index-clean,
+    # tests/test_sanitizers.py)
     w = jnp.where(found, read_counts[None, :], 0).astype(jnp.float32)
     row = jnp.broadcast_to(jnp.arange(S, dtype=jnp.int32)[:, None], combined_idx.shape)
-    idx = jnp.where(found, combined_idx, TOTAL)  # dropped when unmatched
+    idx = jnp.where(found, combined_idx, 0)
     counts = jnp.zeros((S, TOTAL), jnp.float32).at[row, idx].add(w, mode="drop")
     total = w.sum(axis=1)  # [S]
 

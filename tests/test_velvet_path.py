@@ -72,7 +72,8 @@ class TestIndustryPath:
     def test_external_contigs_scored(self, table):
         cfg = ExperimentConfig(
             seq_len=300, read_len=12, coverage_target=12.0, kmer=8,
-            dbg_kmer=9, seed=1234, industry_standard=True, n_orderings=200,
+            dbg_kmer=9, seed=1234, industry_standard=True,
+            velvet_n_orderings=200,
         )
         g = synthetic_genome(10, 300)
         # external "assembler output": true pieces + one junk contig
@@ -97,11 +98,66 @@ class TestIndustryPath:
         bp = res.columns["bp_score_true"]
         assert (np.diff(bp) <= 1e-9).all()
 
-    def test_merge_uses_20000_default(self, table):
-        cfg = ExperimentConfig(industry_standard=True)  # n_orderings default 10000
-        asm = IndustryAssembler(cfg.with_(seq_len=100, read_len=12, coverage_target=5.0), table)
-        # just verify the ordering-count logic: default swaps to 20000
-        assert cfg.n_orderings == 10000
+    def test_velvet_ordering_config(self, table):
+        # default: 20,000 orderings (BreakageScorer.cpp:86); explicit values
+        # pass through — including an explicit 10,000, which the old
+        # `n_orderings != 10000` sentinel could not express
+        cfg = ExperimentConfig(industry_standard=True)
+        assert (cfg.velvet_n_orderings or 20000) == 20000
+        cfg = cfg.with_(velvet_n_orderings=10000)
+        assert (cfg.velvet_n_orderings or 20000) == 10000
+
+
+class TestVelvetSubprocess:
+    def test_fake_binaries_exercise_adapter(self, tmp_path, table, monkeypatch):
+        """Stub velveth/velvetg executables drive the real subprocess path:
+        flag construction (lib/DeNovoAssembler.R:182-222) and contigs.fa
+        parsing, without velvet itself."""
+        import os
+        import stat
+        import textwrap
+
+        bin_dir = tmp_path / "bin"
+        bin_dir.mkdir()
+        # velveth: record its argv for flag assertions
+        velveth = bin_dir / "velveth"
+        velveth.write_text(textwrap.dedent("""\
+            #!/bin/sh
+            echo "$@" > "$1/velveth_args.txt"
+        """))
+        # velvetg: record argv and emit a canned contigs.fa (multi-line
+        # wrapped records, like real velvet output)
+        velvetg = bin_dir / "velvetg"
+        velvetg.write_text(textwrap.dedent("""\
+            #!/bin/sh
+            echo "$@" > "$1/velvetg_args.txt"
+            cat > "$1/contigs.fa" <<'EOF'
+            >NODE_1_length_24_cov_3.0
+            ACGTACGTACGT
+            ACGTACGTACGT
+            >NODE_2_length_8_cov_2.0
+            GGGGCCCC
+            EOF
+        """))
+        for p in (velveth, velvetg):
+            p.chmod(p.stat().st_mode | stat.S_IEXEC)
+        monkeypatch.setenv("PATH", f"{bin_dir}:{os.environ['PATH']}")
+
+        cfg = ExperimentConfig(seq_len=200, read_len=16, dbg_kmer=13,
+                               industry_standard=True)
+        asm = IndustryAssembler(cfg, table)
+        assert IndustryAssembler.velvet_available()
+        r1, r2 = str(tmp_path / "read_1.fa"), str(tmp_path / "read_2.fa")
+        out_dir = str(tmp_path / "velvet_out")
+        contigs = asm.run_velvet(r1, r2, out_dir)
+
+        assert contigs == ["ACGTACGTACGTACGTACGTACGT", "GGGGCCCC"]
+        h_args = (tmp_path / "velvet_out" / "velveth_args.txt").read_text().split()
+        assert h_args == [out_dir, "13", "-shortPaired", "-fasta",
+                          "-separate", r1, r2]
+        g_args = (tmp_path / "velvet_out" / "velvetg_args.txt").read_text().split()
+        assert g_args == [out_dir, "-exp_cov", "auto", "-cov_cutoff", "auto",
+                          "-scaffolding", "yes"]
 
 
 class TestReadsIO:
