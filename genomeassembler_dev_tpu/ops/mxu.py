@@ -149,17 +149,41 @@ def searchsorted_mxu(sorted_vals: jnp.ndarray, queries: jnp.ndarray) -> jnp.ndar
 
 @jax.jit
 def permutation_gather_mxu(vals: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
-    """out[..., i, :] = vals[..., idx[i], :] via one-hot matmul.
+    """out[..., i, :] = vals[..., idx[i], :] via two-level one-hot matmul.
 
     vals: [..., M, C] float32 with integer values |v| < 2^24;
     idx:  [..., M] int32 in [0, M). Returns [..., M, C] float32 (exact).
+
+    The naive formulation builds an [M, M] one-hot per gather — at the
+    doubling walk's M=1024 that is 1M VPU compares per gather, and the
+    one-hot construction (not the matmul) dominates. Splitting idx into
+    (hi, lo) halves drops it to 2*M*sqrt(M) compares:
+        tmp[i, l*C+c] = onehot_hi[i, :] @ vals.reshape(H, L*C)   (MXU)
+        out[i, c]     = sum_l onehot_lo[i, l] * tmp[i, l, c]     (VPU)
+    Exactness: onehot_hi rows are 0/1 bf16, vals cast to bf16 would round,
+    so the matmul keeps vals in f32 with HIGHEST; the lo-selection is a
+    masked f32 sum of already-exact rows.
     """
-    M = vals.shape[-2]
-    iota = jnp.arange(M, dtype=jnp.int32)
-    onehot = (idx[..., None] == iota).astype(jnp.bfloat16)
-    # HIGHEST precision: gathered values are integer node indices/distances
-    # up to M; a single-pass bf16 matmul would round anything > 256
-    return jnp.einsum(
-        "...mk,...kc->...mc", onehot, vals.astype(jnp.float32),
+    *batch, M, C = vals.shape
+    bits = M.bit_length() - 1
+    if (1 << bits) != M:
+        # fallback: single-level one-hot for non-power-of-two M
+        iota = jnp.arange(M, dtype=jnp.int32)
+        onehot = (idx[..., None] == iota).astype(jnp.bfloat16)
+        return jnp.einsum(
+            "...mk,...kc->...mc", onehot, vals.astype(jnp.float32),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+    lo_bits = bits // 2
+    H, L = M >> lo_bits, 1 << lo_bits
+    hi = (idx >> lo_bits).astype(jnp.int32)
+    lo = (idx & (L - 1)).astype(jnp.int32)
+    oh_hi = (hi[..., None] == jnp.arange(H, dtype=jnp.int32)).astype(jnp.bfloat16)
+    v2 = vals.reshape(*batch, H, L * C).astype(jnp.float32)
+    tmp = jnp.einsum(
+        "...mh,...hd->...md", oh_hi, v2,
         preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST,
-    )
+    ).reshape(*batch, M, L, C)
+    oh_lo = (lo[..., None] == jnp.arange(L, dtype=jnp.int32)).astype(jnp.float32)
+    return (tmp * oh_lo[..., None]).sum(axis=-2)

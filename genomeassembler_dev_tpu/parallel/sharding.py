@@ -75,9 +75,13 @@ def make_sim_count_step(mesh: Mesh, read_len: int, n_draws: int, count_k: int,
 
 def make_breakscore_step(mesh: Mesh, break_kmer: int = 8, read_chunk: int = 128):
     """Returns step(paths [B,S,L], plens [B,S], rcodes [B,U,R], rcounts [B,U],
-    rvalid [B,U], probs [TOTAL]) -> bp_score [B, S] float32.
+    rvalid [B,U], probs [TOTAL]) -> the full per-solution output set
+    (lib/DeNovoAssembler.cpp:394-426): a dict with bp_score,
+    bp_score_norm_by_break_freqs, bp_score_norm_by_len [B,S] f32,
+    kmer_breaks [B,S] i32, path_freq and site_counts [B,S,TOTAL] f32.
 
-    Reads sharded over `read` (U axis), table rows sharded over `tp`.
+    Reads sharded over `read` (partial break counts psum'd), table rows
+    sharded over `tp` (partial dots psum'd).
     """
 
     @partial(
@@ -88,7 +92,7 @@ def make_breakscore_step(mesh: Mesh, break_kmer: int = 8, read_chunk: int = 128)
             P("seg", "read", None), P("seg", "read"), P("seg", "read"),
             P("tp"),
         ),
-        out_specs=P("seg", None),
+        out_specs=P("seg"),
         check_vma=False,
     )
     def step(paths, plens, rcodes, rcounts, rvalid, probs_shard):
@@ -98,14 +102,64 @@ def make_breakscore_step(mesh: Mesh, break_kmer: int = 8, read_chunk: int = 128)
                                                     break_kmer, read_chunk)
         )(paths, plens, rcodes, rcounts, rvalid)  # [Bl, S, TOTAL]
         counts = jax.lax.psum(counts_local, "read")
+        total = counts.sum(axis=2)  # [Bl, S] == kmer_breaks
+        safe_total = jnp.maximum(total, 1.0)
 
-        # row-sharded table: local slice dot, reduced over tp
+        # row-sharded table: local slice dots, reduced over tp
         tp_idx = jax.lax.axis_index("tp")
         shard_size = probs_shard.shape[0]
         lo = tp_idx * shard_size
         local_counts = jax.lax.dynamic_slice_in_dim(counts, lo, shard_size, axis=2)
-        partial_dot = dot_f32(local_counts, probs_shard)
-        return jax.lax.psum(partial_dot, "tp")
+        bp_score = jax.lax.psum(dot_f32(local_counts, probs_shard), "tp")
+        norm_by_breaks = jax.lax.psum(
+            dot_f32(local_counts / safe_total[:, :, None], probs_shard), "tp"
+        )
+        norm_by_breaks = jnp.where(total > 0, norm_by_breaks, 0.0)
+        norm_by_len = bp_score / jnp.maximum(plens.astype(jnp.float32), 1.0)
+        path_freq = jnp.where(
+            total[:, :, None] > 0, counts / safe_total[:, :, None], jnp.nan
+        )
+        return {
+            "bp_score": bp_score,
+            "bp_score_norm_by_break_freqs": norm_by_breaks,
+            "bp_score_norm_by_len": norm_by_len,
+            "kmer_breaks": total.astype(jnp.int32),
+            "path_freq": path_freq,
+            "site_counts": counts,
+        }
+
+    return step
+
+
+def make_ks_step(mesh: Mesh):
+    """Sharded per-solution KS statistic: step(path_freq [B,S,T], tracks
+    [B,W]) -> [B,S] f32, segments sharded over `seg` (the KS pooled sort is
+    per solution, so only data parallelism applies)."""
+    from genomeassembler_dev_tpu.ops.ks import batched_ks_2samp
+
+    @partial(
+        shard_map, mesh=mesh, in_specs=(P("seg"), P("seg")),
+        out_specs=P("seg"), check_vma=False,
+    )
+    def step(path_freq, tracks):
+        return jax.vmap(batched_ks_2samp)(path_freq, tracks)
+
+    return step
+
+
+def make_lev_step(mesh: Mesh, mode: str = "NW"):
+    """Sharded Levenshtein vs each segment's truth: step(pm [B,S,L], pl
+    [B,S], gm [B,L]) -> [B,S] i32 over `seg` (the scan DP runs per device)."""
+    from genomeassembler_dev_tpu.ops.edit_distance import batched_levenshtein
+
+    @partial(
+        shard_map, mesh=mesh, in_specs=(P("seg"), P("seg"), P("seg")),
+        out_specs=P("seg"), check_vma=False,
+    )
+    def step(pm, pl, gm):
+        return jax.vmap(
+            lambda a, b, g: batched_levenshtein(a, b, g, mode=mode)
+        )(pm, pl, gm)
 
     return step
 

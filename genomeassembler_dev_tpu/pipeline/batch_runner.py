@@ -44,6 +44,20 @@ from genomeassembler_dev_tpu.utils.compat import flaky_backend_retry
 from genomeassembler_dev_tpu.utils.timers import StageTimer
 
 
+def _shard_over_seg(vfn, mesh, n_in: int):
+    """shard_map a vmapped per-segment function over the mesh's `seg` axis:
+    leading (batch) axes shard, everything else is replicated. Axes other
+    than `seg` (if present) replicate the compute — the batched study is
+    pure segment data-parallelism (SURVEY §2.2 row 1)."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    return jax.jit(shard_map(
+        vfn, mesh=mesh, in_specs=tuple([P("seg")] * n_in),
+        out_specs=P("seg"), check_vma=False,
+    ))
+
+
 @flaky_backend_retry
 def run_experiments_batched(
     cfg: ExperimentConfig,
@@ -52,9 +66,18 @@ def run_experiments_batched(
     uniform: QueryTable | None = None,
     score_group: int = 8,
     verbose: bool = False,
+    mesh=None,
 ) -> list[ExperimentResult]:
+    """mesh=None runs single-device; passing a jax.sharding.Mesh with a
+    `seg` axis runs every device stage (simulate, dBG+walk, scoring, KS,
+    Levenshtein) shard_map'ed over segments — bit-identical outputs, tested
+    on the virtual 8-device CPU mesh (tests/test_batch_runner.py)."""
     uniform = uniform or QueryTable.uniform()
     timer = StageTimer(verbose)
+    B_out = len(segments)
+    if mesh is not None:
+        n_seg = mesh.shape["seg"]
+        segments = list(segments) + [segments[0]] * ((-len(segments)) % n_seg)
     B = len(segments)
     L = cfg.seq_len
     probs8 = jnp.asarray(table.probs[8], jnp.float32)
@@ -66,13 +89,15 @@ def run_experiments_batched(
 
     # ---- stage 1: batched read simulation ---------------------------------
     with timer.stage("Generating sequencing reads (batched)"):
-        # the reference reseeds identically per experiment (scripts/02_…:37)
-        keys = jnp.stack([jax.random.key(cfg.seed)] * B)
-        sim = jax.jit(jax.vmap(
-            lambda k, g: simulate_reads(k, g, probs8, cfg.read_len, n_draws,
-                                        cfg.kmer)
-        ))
-        rs = sim(keys, jnp.asarray(genome_mat))
+        # the reference reseeds identically per experiment (scripts/02_…:37),
+        # so one closed-over key serves every segment
+        vsim = jax.vmap(
+            lambda g: simulate_reads(jax.random.key(cfg.seed), g, probs8,
+                                     cfg.read_len, n_draws, cfg.kmer)
+        )
+        sim = (jax.jit(vsim) if mesh is None
+               else _shard_over_seg(vsim, mesh, n_in=1))
+        rs = sim(jnp.asarray(genome_mat))
         jax.block_until_ready(rs.codes)
 
     # ---- stage 2: batched dBG + contig walk -------------------------------
@@ -104,7 +129,9 @@ def run_experiments_batched(
                 n_u = jnp.int32(0)
             return fn(kc, kv, cfg.dbg_kmer, cfg.contig_cap, max_walks) + (n_u,)
 
-        walk = jax.jit(jax.vmap(per_seg))
+        vwalk = jax.vmap(per_seg)
+        walk = (jax.jit(vwalk) if mesh is None
+                else _shard_over_seg(vwalk, mesh, n_in=2))
         bufs, lens, wvalid, ovf, n_walks, n_nodes, n_u = [
             np.asarray(x) for x in walk(rs.codes, rs.valid)
         ]
@@ -145,12 +172,14 @@ def run_experiments_batched(
     for b, (pmat, _, rcds, _, _) in enumerate(packed):
         groups[(pmat.shape, rcds.shape)].append(b)
 
-    score_fn = jax.jit(jax.vmap(
+    vscore = jax.vmap(
         lambda pm, pl, rc, rn, rv: breakscore(
             pm, pl, rc, rn, rv, probs_all,
             break_kmer=cfg.kmer, read_chunk=cfg.read_chunk,
         )
-    ))
+    )
+    score_fn = (jax.jit(vscore) if mesh is None
+                else _shard_over_seg(vscore, mesh, n_in=5))
 
     def ks_chunked(path_freq, tr, chunk=256):
         """KS in solution-row chunks: the pooled sort needs three f32
@@ -164,16 +193,25 @@ def run_experiments_batched(
                              constant_values=jnp.nan)
             outs.append(np.asarray(ks_fn(sl, tr)))
         return np.concatenate(outs, axis=1)[:, :S]
-    def lev_fn(pm, pl, gm):
-        # per-member calls so the TPU path uses the Myers bit-vector Pallas
-        # kernel (batched_levenshtein_auto needs one exact-length target);
-        # groups are small (<= 8) so dispatch overhead is negligible.
-        return np.stack([
-            np.asarray(batched_levenshtein_auto(pm[gi], pl[gi], gm[gi],
-                                                mode="NW"))
-            for gi in range(pm.shape[0])
-        ])
-    ks_fn = jax.jit(jax.vmap(batched_ks_2samp))
+    if mesh is None:
+        def lev_fn(pm, pl, gm):
+            # per-member calls so the TPU path uses the Myers bit-vector
+            # Pallas kernel (batched_levenshtein_auto takes one exact-length
+            # target); groups are small (<= 8) so dispatch is negligible.
+            return np.stack([
+                np.asarray(batched_levenshtein_auto(pm[gi], pl[gi], gm[gi],
+                                                    mode="NW"))
+                for gi in range(pm.shape[0])
+            ])
+        ks_fn = jax.jit(jax.vmap(batched_ks_2samp))
+    else:
+        from genomeassembler_dev_tpu.ops.edit_distance import (
+            batched_levenshtein)
+
+        lev_fn = _shard_over_seg(jax.vmap(
+            lambda pm, pl, g: batched_levenshtein(pm, pl, g, mode="NW")
+        ), mesh, n_in=3)
+        ks_fn = _shard_over_seg(jax.vmap(batched_ks_2samp), mesh, n_in=2)
 
     results: list[ExperimentResult | None] = [None] * B
     with timer.stage("Evaluating de novo assembled solutions (batched)"):
@@ -189,6 +227,10 @@ def run_experiments_batched(
                 group = min(score_group, 2)
             else:
                 group = 1
+            if mesh is not None:
+                # each device carries `group` members; chunks must fill the
+                # seg axis
+                group *= mesh.shape["seg"]
             for lo in range(0, len(members), group):
                 chunk = members[lo : lo + group]
                 # pad partial groups (repeat first member) to keep one shape
@@ -251,4 +293,4 @@ def run_experiments_batched(
                     results[b] = ExperimentResult(
                         columns=cols, stats=stats, timings=dict(timer.times)
                     )
-    return results  # type: ignore[return-value]
+    return results[:B_out]  # type: ignore[return-value]

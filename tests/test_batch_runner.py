@@ -37,3 +37,38 @@ def test_matches_serial_runner(table):
         mask = ~np.isnan(ks_b)
         np.testing.assert_allclose(ks_a[mask], ks_b[mask], atol=1e-6)
         assert got.stats["nr_of_reads"] == ref.stats["nr_of_reads"]
+
+
+def test_mesh_sharded_matches_single_device(table):
+    """The shard_map study path over the virtual 8-device mesh reproduces
+    the single-device batched run bit-for-bit, including the padding path
+    (5 segments do not divide the 8-way seg axis)."""
+    import jax
+
+    from genomeassembler_dev_tpu.parallel.mesh import make_mesh
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    cfg = ExperimentConfig(seq_len=300, read_len=12, coverage_target=15.0,
+                           kmer=8, dbg_kmer=9, seed=1234, n_orderings=200)
+    store = synthetic_segment_store(13, 300, 5)
+    segs = list(store.seqs)
+    mesh = make_mesh(seg=8, read=1, tp=1)
+    plain = run_experiments_batched(cfg, segs, table, score_group=2)
+    sharded = run_experiments_batched(cfg, segs, table, score_group=2,
+                                      mesh=mesh)
+    assert len(sharded) == len(plain) == 5
+    for got, ref in zip(sharded, plain):
+        assert got.columns["sequence"] == ref.columns["sequence"]
+        for key in ("sequence_len", "kmer_breaks", "lev_dist_vs_true"):
+            np.testing.assert_array_equal(got.columns[key], ref.columns[key])
+        for key in ("bp_score_true", "bp_score_random",
+                    "bp_score_norm_by_break_freqs_true",
+                    "bp_score_norm_by_len_true"):
+            np.testing.assert_allclose(got.columns[key], ref.columns[key],
+                                       rtol=1e-6)
+        ks_a = got.columns["stat_test_KS_true"]
+        ks_b = ref.columns["stat_test_KS_true"]
+        mask = ~np.isnan(ks_b)
+        np.testing.assert_allclose(ks_a[mask], ks_b[mask], atol=1e-6)
+        assert got.stats == ref.stats

@@ -82,7 +82,7 @@ class TestShardedBreakscore:
         probs = jnp.asarray(table.combined, jnp.float32)
 
         step = psh.make_breakscore_step(mesh)
-        got = np.asarray(step(
+        got = jax.tree.map(np.asarray, step(
             jnp.asarray(paths), jnp.asarray(plens), jnp.asarray(rcodes),
             jnp.asarray(rcounts), jnp.asarray(rvalid), probs,
         ))
@@ -93,7 +93,48 @@ class TestShardedBreakscore:
                 jnp.asarray(rcounts[b]), jnp.asarray(rvalid[b]), probs,
                 read_chunk=128,
             )
-            np.testing.assert_allclose(got[b], np.asarray(bs.bp_score), rtol=1e-5)
+            # every output column, not just bp_score (VERDICT round 1 #5)
+            np.testing.assert_allclose(got["bp_score"][b],
+                                       np.asarray(bs.bp_score), rtol=1e-5)
+            np.testing.assert_allclose(
+                got["bp_score_norm_by_break_freqs"][b],
+                np.asarray(bs.bp_score_norm_by_break_freqs), rtol=1e-5)
+            np.testing.assert_allclose(got["bp_score_norm_by_len"][b],
+                                       np.asarray(bs.bp_score_norm_by_len),
+                                       rtol=1e-5)
+            np.testing.assert_array_equal(got["kmer_breaks"][b],
+                                          np.asarray(bs.kmer_breaks))
+            np.testing.assert_allclose(got["path_freq"][b],
+                                       np.asarray(bs.path_freq), rtol=1e-5)
+            np.testing.assert_allclose(got["site_counts"][b],
+                                       np.asarray(bs.site_counts), rtol=1e-6)
+
+    def test_sharded_ks_and_lev(self, table):
+        from genomeassembler_dev_tpu.ops.edit_distance import batched_levenshtein
+        from genomeassembler_dev_tpu.ops.ks import batched_ks_2samp
+
+        rng = np.random.default_rng(3)
+        mesh = pmesh.make_mesh(seg=4, read=2, tp=1)
+        B, S, L, W = 4, 5, 96, 60
+        pm = rng.integers(0, 4, size=(B, S, L)).astype(np.uint8)
+        pl = rng.integers(L // 2, L + 1, size=(B, S)).astype(np.int32)
+        gm = rng.integers(0, 4, size=(B, L)).astype(np.uint8)
+        pf = rng.random((B, S, 200)).astype(np.float32)
+        tracks = rng.random((B, W)).astype(np.float32)
+
+        ks_step = psh.make_ks_step(mesh)
+        lev_step = psh.make_lev_step(mesh, mode="NW")
+        ks = np.asarray(ks_step(jnp.asarray(pf), jnp.asarray(tracks)))
+        lev = np.asarray(lev_step(jnp.asarray(pm), jnp.asarray(pl),
+                                  jnp.asarray(gm)))
+        for b in range(B):
+            np.testing.assert_allclose(
+                ks[b], np.asarray(batched_ks_2samp(
+                    jnp.asarray(pf[b]), jnp.asarray(tracks[b]))), atol=1e-6)
+            np.testing.assert_array_equal(
+                lev[b], np.asarray(batched_levenshtein(
+                    jnp.asarray(pm[b]), jnp.asarray(pl[b]),
+                    jnp.asarray(gm[b]), mode="NW")))
 
 
 class TestShardedTrain:
