@@ -19,7 +19,10 @@ import jax.numpy as jnp
 
 from genomeassembler_dev_tpu.ops.mxu import bincount_mxu, compact_by_rank_mxu
 
-_SENTINEL = jnp.int32(2**30)
+# plain int, NOT a jnp scalar: this module can be imported lazily from
+# inside a jit trace (pipeline/batch_runner), where jnp constant creation
+# would be staged and leak a tracer into module state
+_SENTINEL = 2**30
 
 
 def pack_read_codes(codes: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:

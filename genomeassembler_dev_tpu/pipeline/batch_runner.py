@@ -112,11 +112,13 @@ def run_experiments_batched(
         dedup_cap = 1 << (L - cfg.read_len + 1).bit_length()
         use_dedup = cfg.read_len <= 15 and dedup_cap <= rs.codes.shape[1] * 2
 
+        # import OUTSIDE per_seg: importing inside the jit trace would stage
+        # the module's constant creation (leaked-tracer hazard)
+        from genomeassembler_dev_tpu.ops.dedup import (
+            dedup_with_counts, pack_read_codes, unpack_kmer_windows)
+
         def per_seg(codes, valid):
             if use_dedup:
-                from genomeassembler_dev_tpu.ops.dedup import (
-                    dedup_with_counts, pack_read_codes, unpack_kmer_windows)
-
                 ucodes, _, n_u = dedup_with_counts(
                     pack_read_codes(codes, valid), dedup_cap)
                 kc = unpack_kmer_windows(ucodes, cfg.read_len, cfg.dbg_kmer)
