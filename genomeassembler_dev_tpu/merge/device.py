@@ -96,7 +96,6 @@ def _merge_kernel(perms, pre16_c, suf16_c, lens_c, h1_c, h2_c,
                   hpre1_c, hpre2_c, pow1, pow2, dbg_kmer):
     """perms: [O, C] contig index per slot. Returns final chain state."""
     O, C = perms.shape
-    slot_iota = jnp.arange(C, dtype=jnp.int32)[None, :]
 
     # a slot's chain-head contig is invariant (absorbs append at the tail),
     # so the head contig id is simply perms[o, s]
@@ -113,60 +112,84 @@ def _merge_kernel(perms, pre16_c, suf16_c, lens_c, h1_c, h2_c,
     }
     head_c = perms.astype(jnp.int32)  # static per slot
 
-    def pair_step(st, i, j, k):
-        gi = lambda f: st[f][:, i]
-        gj = lambda f: st[f][:, j]
-        suffix_i = gi("suf16") & jnp.uint32((1 << (2 * k)) - 1)
-        prefix_j = gj("pre16") >> jnp.uint32(2 * (16 - k))
-        str_eq = (
-            (gi("len") == gj("len")) & (gi("h1") == gj("h1")) & (gi("h2") == gj("h2"))
-        )
-        long_enough = (gi("len") >= k) & (gj("len") >= k)
-        can = (gi("alive") & gj("alive") & ~str_eq & long_enough
-               & (suffix_i == prefix_j))
+    def body_i(i, st, k, prefix_k):
+        """One i-pass: j descends C-1..0 with contigs[i] re-read after every
+        merge (cpp:239-257). i's evolving state is a small scan carry —
+        (alive, len, h1, h2, suf16, tail) [O] vectors — because j's state is
+        fixed within the pass (each j is visited exactly once, and only i
+        mutates). Absorptions are emitted per step and applied to the [O, C]
+        state in one batched update afterwards."""
+        # per-step inputs, transposed so scan slices them: [C(steps), O]
+        j_desc = jnp.arange(C - 1, -1, -1, dtype=jnp.int32)
+        xs = {
+            "j": j_desc,
+            "alive_j": st["alive"].T[j_desc],
+            "len_j": st["len"].T[j_desc],
+            "h1_j": st["h1"].T[j_desc],
+            "h2_j": st["h2"].T[j_desc],
+            "pre_k_j": prefix_k.T[j_desc],
+            "suf16_j": st["suf16"].T[j_desc],
+            "tail_j": st["tail"].T[j_desc],
+            "hk1_j": hpre1_c[head_c, k - 1].T[j_desc],
+            "hk2_j": hpre2_c[head_c, k - 1].T[j_desc],
+        }
+        carry0 = {
+            "alive": st["alive"][:, i],
+            "len": st["len"][:, i],
+            "h1": st["h1"][:, i],
+            "h2": st["h2"][:, i],
+            "suf16": st["suf16"][:, i],
+            "tail": st["tail"][:, i],
+        }
 
-        len_j = gj("len")
-        tail_len = (len_j - k).astype(jnp.int32)
-        p1 = pow1[tail_len]
-        p2 = pow2[tail_len]
-        head_j = head_c[:, j]
-        hk1 = hpre1_c[head_j, k - 1]  # hash of chain j's first k chars
-        hk2 = hpre2_c[head_j, k - 1]
-        h1_new = gi("h1") * p1 + (gj("h1") - hk1 * p1)
-        h2_new = gi("h2") * p2 + (gj("h2") - hk2 * p2)
-        len_new = gi("len") + tail_len
+        def step(c, x):
+            suffix_i = c["suf16"] & jnp.uint32((1 << (2 * k)) - 1)
+            str_eq = ((c["len"] == x["len_j"]) & (c["h1"] == x["h1_j"])
+                      & (c["h2"] == x["h2_j"]))
+            can = (c["alive"] & x["alive_j"] & (x["j"] != i) & ~str_eq
+                   & (c["len"] >= k) & (x["len_j"] >= k)
+                   & (suffix_i == x["pre_k_j"]))
+            tail_len = (x["len_j"] - k).astype(jnp.int32)
+            p1 = pow1[tail_len]
+            p2 = pow2[tail_len]
+            h1_new = c["h1"] * p1 + (x["h1_j"] - x["hk1_j"] * p1)
+            h2_new = c["h2"] * p2 + (x["h2_j"] - x["hk2_j"] * p2)
+            out = (can, c["tail"])  # emit (absorbed?, link-from slot)
+            c = {
+                "alive": c["alive"],
+                "len": jnp.where(can, c["len"] + tail_len, c["len"]),
+                "h1": jnp.where(can, h1_new, c["h1"]),
+                "h2": jnp.where(can, h2_new, c["h2"]),
+                "suf16": jnp.where(can, x["suf16_j"], c["suf16"]),
+                "tail": jnp.where(can, x["tail_j"], c["tail"]),
+            }
+            return c, out
 
-        tail_i = gi("tail")
-        # link: next[o, tail_i] = j where can  (vectorised column compare)
-        is_tail = slot_iota == tail_i[:, None]
-        st_next = jnp.where(can[:, None] & is_tail, j, st["next"])
-        st_trim = st["trim"].at[:, j].set(jnp.where(can, k, st["trim"][:, j]))
-
-        def upd_col(arr, col, val):
-            return arr.at[:, col].set(jnp.where(can, val, arr[:, col]))
+        cf, (cans, prev_tails) = jax.lax.scan(step, carry0, xs)  # [C, O]
+        cans_t = cans.T  # [O, C(steps)]
+        o_iota = jnp.arange(O, dtype=jnp.int32)[:, None]
 
         st = dict(st)
-        st["next"] = st_next
-        st["trim"] = st_trim
-        st["h1"] = upd_col(st["h1"], i, h1_new)
-        st["h2"] = upd_col(st["h2"], i, h2_new)
-        st["len"] = upd_col(st["len"], i, len_new)
-        st["suf16"] = upd_col(st["suf16"], i, gj("suf16"))
-        st["tail"] = upd_col(st["tail"], i, gj("tail"))
-        st["alive"] = upd_col(st["alive"], j, jnp.zeros(O, bool))
+        # kill absorbed slots: step s handled j = C-1-s, so flip step->slot
+        absorbed = jnp.flip(cans_t, axis=1)
+        st["alive"] = st["alive"] & ~absorbed
+        # chain links: next[o, prev_tail] = j, trim[o, j] = k (each absorbed
+        # j has a unique prev_tail within the pass — no write conflicts)
+        link_rows = jnp.where(cans_t, prev_tails.T, C)
+        st["next"] = st["next"].at[o_iota, link_rows].set(
+            jnp.broadcast_to(j_desc[None, :], (O, C)), mode="drop")
+        trim_rows = jnp.where(cans_t, j_desc[None, :], C)
+        st["trim"] = st["trim"].at[o_iota, trim_rows].set(k, mode="drop")
+        # column i takes the final carry
+        for f in ("len", "h1", "h2", "suf16", "tail"):
+            st[f] = st[f].at[:, i].set(cf[f])
         return st
 
     def sweep(st, k):
-        def body_i(i, st):
-            def body_j(jj, st):
-                j = C - 1 - jj
-                return jax.lax.cond(
-                    j == i, lambda s: s, lambda s: pair_step(s, i, j, k), st
-                )
-
-            return jax.lax.fori_loop(0, C, body_j, st)
-
-        return jax.lax.fori_loop(0, C, body_i, st)
+        prefix_k = st["pre16"] >> jnp.uint32(2 * (16 - k))  # invariant in k-phase
+        return jax.lax.fori_loop(
+            0, C, lambda i, s: body_i(i, s, k, prefix_k), st
+        )
 
     def fixpoint(st, k):
         def cond(carry):

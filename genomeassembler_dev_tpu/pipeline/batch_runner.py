@@ -17,6 +17,7 @@ semantics); only the execution schedule changes.
 from __future__ import annotations
 
 from collections import defaultdict
+from functools import lru_cache
 
 import jax
 import jax.numpy as jnp
@@ -44,18 +45,100 @@ from genomeassembler_dev_tpu.utils.compat import flaky_backend_retry
 from genomeassembler_dev_tpu.utils.timers import StageTimer
 
 
-def _shard_over_seg(vfn, mesh, n_in: int):
+def _shard_over_seg(vfn, mesh, n_in: int, n_repl: int = 0):
     """shard_map a vmapped per-segment function over the mesh's `seg` axis:
-    leading (batch) axes shard, everything else is replicated. Axes other
-    than `seg` (if present) replicate the compute — the batched study is
-    pure segment data-parallelism (SURVEY §2.2 row 1)."""
+    the first n_in inputs shard on their leading (batch) axis, the last
+    n_repl inputs (shared tables) replicate. Mesh axes other than `seg` (if
+    present) replicate the compute — the batched study is pure segment data
+    parallelism (SURVEY §2.2 row 1)."""
     from jax import shard_map
     from jax.sharding import PartitionSpec as P
 
     return jax.jit(shard_map(
-        vfn, mesh=mesh, in_specs=tuple([P("seg")] * n_in),
+        vfn, mesh=mesh,
+        in_specs=tuple([P("seg")] * n_in + [P()] * n_repl),
         out_specs=P("seg"), check_vma=False,
     ))
+
+
+# ---------------------------------------------------------------------------
+# cached stage programs: rebuilding jit closures per call forces a retrace
+# (and a compile-cache round-trip) on EVERY batch — measured ~20 s/batch of
+# pure overhead during the full study. Builders are keyed on the static
+# config so repeat batches hit the in-process jit cache; all arrays
+# (genomes, tables) are arguments, never closures.
+# ---------------------------------------------------------------------------
+
+
+@lru_cache(maxsize=128)
+def _sim_jit(read_len: int, n_draws: int, kmer: int, seed: int, mesh):
+    vsim = jax.vmap(
+        lambda g, p8: simulate_reads(jax.random.key(seed), g, p8, read_len,
+                                     n_draws, kmer),
+        in_axes=(0, None),
+    )
+    if mesh is None:
+        return jax.jit(vsim)
+    return _shard_over_seg(vsim, mesh, n_in=1, n_repl=1)
+
+
+@lru_cache(maxsize=128)
+def _walk_jit(read_len: int, dbg_kmer: int, contig_cap: int, max_walks: int,
+              use_dedup: bool, dedup_cap: int, mesh):
+    from genomeassembler_dev_tpu.ops.dedup import (
+        dedup_with_counts, pack_read_codes, unpack_kmer_windows)
+
+    fn = contigs_dense if dbg_kmer <= DENSE_MAX_K else contigs_sparse
+
+    def per_seg(codes, valid):
+        if use_dedup:
+            ucodes, _, n_u = dedup_with_counts(
+                pack_read_codes(codes, valid), dedup_cap)
+            kc = unpack_kmer_windows(ucodes, read_len, dbg_kmer)
+            kv = jnp.broadcast_to(
+                (jnp.arange(dedup_cap, dtype=jnp.int32) < n_u)[:, None],
+                kc.shape)
+        else:
+            kc, kv = kmer_window_codes(codes, dbg_kmer)
+            kv = kv & valid[:, None]
+            n_u = jnp.int32(0)
+        return fn(kc, kv, dbg_kmer, contig_cap, max_walks) + (n_u,)
+
+    vwalk = jax.vmap(per_seg)
+    if mesh is None:
+        return jax.jit(vwalk)
+    return _shard_over_seg(vwalk, mesh, n_in=2)
+
+
+@lru_cache(maxsize=128)
+def _score_jit(break_kmer: int, read_chunk: int, mesh):
+    vscore = jax.vmap(
+        lambda pm, pl, rc, rn, rv, probs: breakscore(
+            pm, pl, rc, rn, rv, probs,
+            break_kmer=break_kmer, read_chunk=read_chunk,
+        ),
+        in_axes=(0, 0, 0, 0, 0, None),
+    )
+    if mesh is None:
+        return jax.jit(vscore)
+    return _shard_over_seg(vscore, mesh, n_in=5, n_repl=1)
+
+
+@lru_cache(maxsize=16)
+def _ks_jit(mesh):
+    vks = jax.vmap(batched_ks_2samp)
+    if mesh is None:
+        return jax.jit(vks)
+    return _shard_over_seg(vks, mesh, n_in=2)
+
+
+@lru_cache(maxsize=16)
+def _lev_sharded_jit(mesh):
+    from genomeassembler_dev_tpu.ops.edit_distance import batched_levenshtein
+
+    return _shard_over_seg(jax.vmap(
+        lambda pm, pl, g: batched_levenshtein(pm, pl, g, mode="NW")
+    ), mesh, n_in=3)
 
 
 @flaky_backend_retry
@@ -90,19 +173,13 @@ def run_experiments_batched(
     # ---- stage 1: batched read simulation ---------------------------------
     with timer.stage("Generating sequencing reads (batched)"):
         # the reference reseeds identically per experiment (scripts/02_…:37),
-        # so one closed-over key serves every segment
-        vsim = jax.vmap(
-            lambda g: simulate_reads(jax.random.key(cfg.seed), g, probs8,
-                                     cfg.read_len, n_draws, cfg.kmer)
-        )
-        sim = (jax.jit(vsim) if mesh is None
-               else _shard_over_seg(vsim, mesh, n_in=1))
-        rs = sim(jnp.asarray(genome_mat))
+        # so one static seed serves every segment
+        sim = _sim_jit(cfg.read_len, n_draws, cfg.kmer, cfg.seed, mesh)
+        rs = sim(jnp.asarray(genome_mat), probs8)
         jax.block_until_ready(rs.codes)
 
     # ---- stage 2: batched dBG + contig walk -------------------------------
     with timer.stage("Running DBG de novo genome assembler (batched)"):
-        fn = contigs_dense if cfg.dbg_kmer <= DENSE_MAX_K else contigs_sparse
         max_walks = 2048
 
         # reads of <= 15 bases pack into one int32: dedup them on device
@@ -112,28 +189,8 @@ def run_experiments_batched(
         dedup_cap = 1 << (L - cfg.read_len + 1).bit_length()
         use_dedup = cfg.read_len <= 15 and dedup_cap <= rs.codes.shape[1] * 2
 
-        # import OUTSIDE per_seg: importing inside the jit trace would stage
-        # the module's constant creation (leaked-tracer hazard)
-        from genomeassembler_dev_tpu.ops.dedup import (
-            dedup_with_counts, pack_read_codes, unpack_kmer_windows)
-
-        def per_seg(codes, valid):
-            if use_dedup:
-                ucodes, _, n_u = dedup_with_counts(
-                    pack_read_codes(codes, valid), dedup_cap)
-                kc = unpack_kmer_windows(ucodes, cfg.read_len, cfg.dbg_kmer)
-                kv = jnp.broadcast_to(
-                    (jnp.arange(dedup_cap, dtype=jnp.int32) < n_u)[:, None],
-                    kc.shape)
-            else:
-                kc, kv = kmer_window_codes(codes, cfg.dbg_kmer)
-                kv = kv & valid[:, None]
-                n_u = jnp.int32(0)
-            return fn(kc, kv, cfg.dbg_kmer, cfg.contig_cap, max_walks) + (n_u,)
-
-        vwalk = jax.vmap(per_seg)
-        walk = (jax.jit(vwalk) if mesh is None
-                else _shard_over_seg(vwalk, mesh, n_in=2))
+        walk = _walk_jit(cfg.read_len, cfg.dbg_kmer, cfg.contig_cap,
+                         max_walks, use_dedup, dedup_cap, mesh)
         bufs, lens, wvalid, ovf, n_walks, n_nodes, n_u = [
             np.asarray(x) for x in walk(rs.codes, rs.valid)
         ]
@@ -174,14 +231,8 @@ def run_experiments_batched(
     for b, (pmat, _, rcds, _, _) in enumerate(packed):
         groups[(pmat.shape, rcds.shape)].append(b)
 
-    vscore = jax.vmap(
-        lambda pm, pl, rc, rn, rv: breakscore(
-            pm, pl, rc, rn, rv, probs_all,
-            break_kmer=cfg.kmer, read_chunk=cfg.read_chunk,
-        )
-    )
-    score_fn = (jax.jit(vscore) if mesh is None
-                else _shard_over_seg(vscore, mesh, n_in=5))
+    score6 = _score_jit(cfg.kmer, cfg.read_chunk, mesh)
+    score_fn = lambda pm, pl, rc, rn, rv: score6(pm, pl, rc, rn, rv, probs_all)
 
     def ks_chunked(path_freq, tr, chunk=256):
         """KS in solution-row chunks: the pooled sort needs three f32
@@ -195,6 +246,7 @@ def run_experiments_batched(
                              constant_values=jnp.nan)
             outs.append(np.asarray(ks_fn(sl, tr)))
         return np.concatenate(outs, axis=1)[:, :S]
+    ks_fn = _ks_jit(mesh)
     if mesh is None:
         def lev_fn(pm, pl, gm):
             # per-member calls so the TPU path uses the Myers bit-vector
@@ -205,15 +257,8 @@ def run_experiments_batched(
                                                     mode="NW"))
                 for gi in range(pm.shape[0])
             ])
-        ks_fn = jax.jit(jax.vmap(batched_ks_2samp))
     else:
-        from genomeassembler_dev_tpu.ops.edit_distance import (
-            batched_levenshtein)
-
-        lev_fn = _shard_over_seg(jax.vmap(
-            lambda pm, pl, g: batched_levenshtein(pm, pl, g, mode="NW")
-        ), mesh, n_in=3)
-        ks_fn = _shard_over_seg(jax.vmap(batched_ks_2samp), mesh, n_in=2)
+        lev_fn = _lev_sharded_jit(mesh)
 
     results: list[ExperimentResult | None] = [None] * B
     with timer.stage("Evaluating de novo assembled solutions (batched)"):
