@@ -191,7 +191,9 @@ def main():
     else:
         log("native engine unavailable; vs_baseline = NaN")
 
-    # --- secondary metric (stderr): edit-distance throughput ----------------
+    extras = {}
+
+    # --- extra: edit-distance throughput ------------------------------------
     try:
         from genomeassembler_dev_tpu.ops.edit_distance import batched_levenshtein_auto
 
@@ -206,17 +208,67 @@ def main():
             out = batched_levenshtein_auto(qs, qlen, tgt)
         _ = np.asarray(out[0])
         t_lev = (time.perf_counter() - t0) / REPS
+        extras["lev_nw_gcells_per_sec_256x1024x1000"] = round(
+            S * M * SEQ_LEN / t_lev / 1e9, 1)
         log(f"edit distance: {S}x{M}x{SEQ_LEN} in {t_lev * 1e3:.1f} ms -> "
             f"{S * M * SEQ_LEN / t_lev / 1e9:.1f} Gcell/s "
             f"({S / t_lev:,.0f} alignments/s)")
-    except Exception as e:  # secondary metric must not break the bench
-        log(f"edit-distance secondary metric skipped: {e}")
+
+        # flagship HW-mode Myers shape (velvet-scale target length). Full
+        # 2048-query batch costs minutes; bench uses 256 queries (one rep)
+        # and GA_BENCH_FULL=1 unlocks the full 2048x2048x50000 shape.
+        import os
+
+        S2 = 2048 if os.environ.get("GA_BENCH_FULL") else 256
+        M2, T2 = 2048, 50000
+        qs2 = jnp.asarray(rng.integers(0, 4, (S2, M2)).astype(np.uint8))
+        qlen2 = jnp.full(S2, M2, jnp.int32)
+        tgt2 = jnp.asarray(rng.integers(0, 4, T2).astype(np.uint8))
+        _ = np.asarray(batched_levenshtein_auto(qs2, qlen2, tgt2,
+                                                mode="HW")[0])
+        t0 = time.perf_counter()
+        out = batched_levenshtein_auto(qs2, qlen2, tgt2, mode="HW")
+        _ = np.asarray(out[0])
+        t_hw = time.perf_counter() - t0
+        extras[f"lev_hw_gcells_per_sec_{S2}x{M2}x{T2}"] = round(
+            S2 * M2 * T2 / t_hw / 1e9, 1)
+        extras[f"lev_hw_alignments_per_sec_{S2}x{M2}x{T2}"] = round(S2 / t_hw, 1)
+        log(f"edit distance HW: {S2}x{M2}x{T2} in {t_hw:.2f} s -> "
+            f"{S2 * M2 * T2 / t_hw / 1e9:.1f} Gcell/s")
+    except Exception as e:  # extras must not break the bench
+        log(f"edit-distance extras skipped: {e}")
+
+    # --- extra: end-to-end experiments/s (simulate -> dBG -> 10k-ordering
+    # merge -> double scoring -> KS -> Levenshtein), batched runner ----------
+    try:
+        from genomeassembler_dev_tpu.core.querytable import load_default_query_table
+        from genomeassembler_dev_tpu.pipeline.batch_runner import (
+            run_experiments_batched)
+        from genomeassembler_dev_tpu.pipeline.config import ExperimentConfig
+        from genomeassembler_dev_tpu.sim.segments import synthetic_genome as sg
+
+        cfg = ExperimentConfig(seq_len=1000, read_len=12, dbg_kmer=9,
+                               coverage_target=40.0, kmer=8, seed=1234,
+                               n_orderings=10000)
+        segs = [sg(1000 + i, 1000) for i in range(32)]
+        tbl = load_default_query_table()
+        _ = run_experiments_batched(cfg, segs, tbl)  # compile
+        t0 = time.perf_counter()
+        res = run_experiments_batched(cfg, segs, tbl)
+        t_e2e = time.perf_counter() - t0
+        assert len(res) == len(segs) and all(r.n_solutions >= 1 for r in res)
+        extras["experiments_per_sec_e2e"] = round(len(segs) / t_e2e, 3)
+        log(f"e2e batched study: {len(segs)} experiments in {t_e2e:.1f} s -> "
+            f"{len(segs) / t_e2e:.2f} experiments/s (warm)")
+    except Exception as e:
+        log(f"e2e experiments/s extra skipped: {e}")
 
     print(json.dumps({
         "metric": "reads_per_sec_kmer_count_plus_dbg_build",
         "value": round(tpu_rps, 1),
         "unit": "reads/s",
         "vs_baseline": round(vs_baseline, 3) if vs_baseline == vs_baseline else None,
+        "extras": extras,
     }))
 
 

@@ -23,6 +23,32 @@ DENSE_MAX_K = 10
 
 
 @flaky_backend_retry
+def _walk_cap_ladder(run, n_kmers: int, max_contig_len: int):
+    """Run a contig builder under growing walk/node-capacity ladders.
+
+    `run(max_walks, node_cap)` returns (buf, lens, valid, overflow, n_total,
+    n_nodes); n_total/n_nodes are the TRUE counts regardless of capacity.
+    Sizing the contig buffer [max_walks, max_contig_len] to the worst case
+    (every k-mer a walk) OOMs at scale — e.g. BASELINE config 1 (50 kb,
+    150 bp reads, k=31) has 1.6M k-mers x 100k cap = 160 GB — and sizing the
+    node arrays to 2E makes the doubling walk pay ~2E/n_nodes x redundant
+    gather work (measured 14.6 s vs <1 s at that config), while real counts
+    are tiny. Start small and retry with the next power of two on overflow."""
+    mw = min(4096, 1 << max(1, n_kmers - 1).bit_length())
+    nc = min(1 << max(1, max_contig_len + 64 - 1).bit_length(), 2 * n_kmers)
+    while True:
+        out = run(mw, nc)
+        n_total, n_nodes = int(out[4]), int(out[5])
+        if n_nodes > nc:
+            nc = min(1 << (n_nodes - 1).bit_length(), 2 * n_kmers)
+            continue
+        if n_total <= mw:
+            return out
+        if n_total > n_kmers:
+            raise ValueError(f"walk count {n_total} exceeds k-mer count {n_kmers}")
+        mw = 1 << (n_total - 1).bit_length()
+
+
 def contigs_from_read_codes(
     read_codes: np.ndarray,  # [N, R] base codes
     read_valid: np.ndarray,  # [N] bool
@@ -31,7 +57,8 @@ def contigs_from_read_codes(
     max_walks: int | None = None,
 ) -> list[str]:
     """Canonical contig set from packed reads. Raises if a walk overflows
-    max_contig_len or the walk capacity (caller retries with larger caps)."""
+    max_contig_len (caller retries with a larger cap); walk capacity is
+    auto-laddered unless max_walks is given."""
     codes = jnp.asarray(read_codes)
     if dbg_kmer > 31:
         raise ValueError("dbg_kmer > 31 is not supported (62-bit code limit)")
@@ -41,41 +68,55 @@ def contigs_from_read_codes(
 
         hi, lo, kvalid = kmer_pair_codes(codes, dbg_kmer)
         kvalid = kvalid & jnp.asarray(read_valid)[:, None]
+
+        def run_big(mw, nc):
+            return contigs_big_k(hi, lo, kvalid, dbg_kmer, max_contig_len, mw,
+                                 node_cap=nc)
+
         if max_walks is None:
-            max_walks = int(hi.size)
-        buf, lens, valid, overflow, n_total, _ = contigs_big_k(
-            hi, lo, kvalid, dbg_kmer, max_contig_len, max_walks
-        )
-        if int(n_total) > max_walks:
-            raise ValueError(
-                f"{int(n_total)} walks exceed capacity {max_walks}; raise max_walks"
-            )
-        return dedup_contigs(
-            np.asarray(buf), np.asarray(lens), np.asarray(valid), np.asarray(overflow)
-        )
+            out = _walk_cap_ladder(run_big, int(hi.size), max_contig_len)
+        else:
+            out = run_big(max_walks, None)
+            if int(out[4]) > max_walks:
+                raise ValueError(
+                    f"{int(out[4])} walks exceed capacity {max_walks}")
+        return _fetch_dedup_contigs(out)
     kcodes, kvalid = kmer_window_codes(codes, dbg_kmer)
     kvalid = kvalid & jnp.asarray(read_valid)[:, None]
-    if max_walks is None:
-        max_walks = int(kcodes.size)
     if dbg_kmer <= DENSE_MAX_K:
-        node_cap = 1024
-        while True:
-            out = contigs_dense(kcodes, kvalid, dbg_kmer, max_contig_len,
-                                max_walks, node_cap)
-            if int(out[5]) <= node_cap:
-                break
-            node_cap = 1 << int(out[5] - 1).bit_length()  # retry, larger cap
-        buf, lens, valid, overflow, n_total, _ = out
+        def runner(mw, _nc):
+            node_cap = 1024
+            while True:
+                out = contigs_dense(kcodes, kvalid, dbg_kmer, max_contig_len,
+                                    mw, node_cap)
+                if int(out[5]) <= node_cap:
+                    # dense ladders its own node capacity; report it as fitting
+                    return out[:5] + (jnp.int32(0),)
+                node_cap = 1 << int(out[5] - 1).bit_length()  # retry, larger
     else:
-        buf, lens, valid, overflow, n_total, _ = contigs_sparse(
-            kcodes, kvalid, dbg_kmer, max_contig_len, max_walks
-        )
-    if int(n_total) > max_walks:
-        raise ValueError(
-            f"{int(n_total)} walks exceed capacity {max_walks}; raise max_walks"
-        )
+        def runner(mw, nc):
+            return contigs_sparse(kcodes, kvalid, dbg_kmer, max_contig_len,
+                                  mw, node_cap=nc)
+
+    if max_walks is None:
+        out = _walk_cap_ladder(runner, int(kcodes.size), max_contig_len)
+    else:
+        out = runner(max_walks, None)
+        if int(out[4]) > max_walks:
+            raise ValueError(
+                f"{int(out[4])} walks exceed capacity {max_walks}")
+    return _fetch_dedup_contigs(out)
+
+
+def _fetch_dedup_contigs(out) -> list[str]:
+    """Slice the contig buffer to the real walk rows before the host fetch —
+    the padded buffer can be hundreds of MB (measured 7.3 s transfer for the
+    4096 x 100k ladder buffer at config 1 with 1 real walk)."""
+    buf, lens, valid, overflow, n_total, _ = out
+    n = min(int(n_total), buf.shape[0])
     return dedup_contigs(
-        np.asarray(buf), np.asarray(lens), np.asarray(valid), np.asarray(overflow)
+        np.asarray(buf[:n]), np.asarray(lens[:n]), np.asarray(valid[:n]),
+        np.asarray(overflow[:n])
     )
 
 

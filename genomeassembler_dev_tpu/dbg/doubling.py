@@ -8,13 +8,16 @@ parallel formulation — O(log max_len) vectorised steps total:
   * every interior node of a unitig chain has exactly one successor and one
     predecessor (in = out = 1; anything else is a branch/terminal), so chains
     are disjoint linked lists;
-  * downstream doubling of (next, dist) gives every node its chain terminal
-    and distance to it;
   * upstream doubling of (uptr, uoff) gives every interior node its chain
     head and offset — the head's walk id is scattered from the walk list;
-  * the contig characters are then written with THREE scatters: prefix chars,
-    one scatter of all interior-node characters to (walk, k-1+offset), and
-    the terminal character at (walk, k-1+dist).
+  * a downstream chase is NOT needed: the chain's last node (the one whose
+    successor is terminal) knows the walk's length (its offset + 1) and the
+    terminal character (its successor's), so lengths and terminal chars are
+    scattered from last nodes instead of chased from starts — half the
+    doubling gathers;
+  * the contig characters are then written with scatters: prefix chars, all
+    interior-node characters to (walk, k-1+offset), the terminal character
+    at (walk, k+offset_last), and per-walk lengths from last nodes.
 
 Works over any node-indexed graph arrays, so the dense (direct-indexed) and
 sparse (sorted-unique) builders share it.
@@ -50,20 +53,15 @@ def walk_contigs_doubling(
 
     terminal = branch | (out_deg == 0)
 
-    # --- downstream doubling: terminal + distance --------------------------
-    nxt = jnp.where(terminal | (succ < 0), self_idx, succ)
-    dist = jnp.where(terminal, 0, 1).astype(jnp.int32)
-    n_iters = max(1, (max_len).bit_length())
-    for _ in range(n_iters):
-        dist = dist + dist[nxt]
-        nxt = nxt[nxt]
-
     # --- upstream doubling: head + offset for interior nodes ---------------
-    interior = ~terminal  # interior nodes have in==1 and a valid pred
+    interior = ~terminal  # interior nodes have in==1, out==1, a valid pred
     has_pred = pred >= 0
     head = interior & (~has_pred | terminal[jnp.maximum(pred, 0)])
     uptr = jnp.where(interior & ~head & has_pred, jnp.maximum(pred, 0), self_idx)
     uoff = jnp.where(interior & ~head & has_pred, 1, 0).astype(jnp.int32)
+    # chains have at most V nodes, so 2^n_iters >= min(max_len, V) suffices:
+    # anything longer either cannot exist (> V) or is flagged as overflow
+    n_iters = max(1, min(max_len, V).bit_length())
     for _ in range(n_iters):
         uoff = uoff + uoff[uptr]
         uptr = uptr[uptr]
@@ -91,14 +89,27 @@ def walk_contigs_doubling(
     poss = jnp.minimum(k - 1 + uoff, max_len - 1)
     buf = buf.at[rows, poss].set(node_char, mode="drop")
 
-    # terminal characters + lengths
+    # last chain node (successor is terminal) scatters the walk's terminal
+    # character and total length; interior => succ >= 0
+    succ_c = jnp.maximum(succ, 0)
+    is_last = node_ok & terminal[succ_c]
+    lrows = jnp.where(is_last, wid, W)
+    buf = buf.at[lrows, jnp.minimum(k + uoff, max_len - 1)].set(
+        node_char[succ_c], mode="drop")
+    lens0 = jnp.zeros(W, jnp.int32).at[lrows].set(k + 1 + uoff, mode="drop")
+
+    # walks whose start node is itself terminal have length k and the start
+    # node's own character at column k-1
     s_clamped = jnp.minimum(jnp.maximum(walk_start, 0), V - 1)
-    term_node = nxt[s_clamped]
-    d = jnp.where(terminal[s_clamped], 0, dist[s_clamped])
-    lens = jnp.where(walk_valid, k + d, 0).astype(jnp.int32)
-    overflow = walk_valid & (lens > max_len)
-    tpos = jnp.minimum(k - 1 + d, max_len - 1)
-    trow = jnp.where(walk_valid, jnp.arange(W, dtype=jnp.int32), W)
-    buf = buf.at[trow, tpos].set(node_char[term_node], mode="drop")
+    start_term = walk_valid & terminal[s_clamped]
+    trow = jnp.where(start_term, jnp.arange(W, dtype=jnp.int32), W)
+    buf = buf.at[trow, jnp.full(W, k - 1, jnp.int32)].set(
+        node_char[s_clamped], mode="drop")
+
+    lens = jnp.where(walk_valid, jnp.where(start_term, k, lens0), 0)
+    # a valid interior-start walk with lens0 == 0 means the up-chain did not
+    # converge within 2^n_iters >= max_len steps — the chain is longer than
+    # max_len, i.e. overflow
+    overflow = walk_valid & ((lens > max_len) | (start_nonterm & (lens0 == 0)))
 
     return buf, lens, overflow

@@ -64,9 +64,17 @@ def _sorted_unique(vals: jnp.ndarray, valid: jnp.ndarray):
     return s, uniq, uniq.sum()
 
 
-@partial(jax.jit, static_argnames=("k",))
-def build_dbg(kmer_codes: jnp.ndarray, kmer_valid: jnp.ndarray, k: int) -> DBG:
-    """Build the graph from (possibly repeated) k-mer codes [N]."""
+@partial(jax.jit, static_argnames=("k", "node_cap"))
+def build_dbg(kmer_codes: jnp.ndarray, kmer_valid: jnp.ndarray, k: int,
+              node_cap: int | None = None) -> DBG:
+    """Build the graph from (possibly repeated) k-mer codes [N].
+
+    node_cap (static) bounds the node arrays: unique nodes are compacted to
+    the front of the sorted array, so slicing to node_cap is exact whenever
+    n_nodes <= node_cap (callers check the returned n_nodes and retry with a
+    larger cap). Without it V = 2E, and the downstream doubling walk pays
+    ~2E/n_nodes x redundant gather work — measured 14.6 s vs 0.3 s at
+    BASELINE config 1 (1.6M k-mers, 50k real nodes)."""
     n = kmer_codes.shape[0]
     s, uniq, n_edges = _sorted_unique(kmer_codes.astype(jnp.int32), kmer_valid)
     # compact unique edges to the front, SENTINEL elsewhere
@@ -80,6 +88,8 @@ def build_dbg(kmer_codes: jnp.ndarray, kmer_valid: jnp.ndarray, k: int) -> DBG:
     both = jnp.concatenate([prefix, suffix])
     bs, buniq, n_nodes = _sorted_unique(both, both != SENTINEL)
     nodes = jnp.sort(jnp.where(buniq, bs, SENTINEL))
+    if node_cap is not None and node_cap < nodes.shape[0]:
+        nodes = nodes[:node_cap]
     node_valid = nodes != SENTINEL
     V = nodes.shape[0]
 
@@ -142,15 +152,17 @@ def walk_starts_sparse(g: DBG, max_walks: int):
     return s_idx[sel], prefix[sel], valid, n_total
 
 
-@partial(jax.jit, static_argnames=("k", "max_len", "max_walks"))
+@partial(jax.jit, static_argnames=("k", "max_len", "max_walks", "node_cap"))
 def contigs_sparse(kmer_codes: jnp.ndarray, kmer_valid: jnp.ndarray, k: int,
-                   max_len: int, max_walks: int):
+                   max_len: int, max_walks: int, node_cap: int | None = None):
     """Fused sparse build + doubling walk for one segment. Returns
-    (buf [W, max_len], lens, walk_valid, overflow, n_walks_total, n_nodes);
-    the sparse node capacity (2E) can never overflow."""
+    (buf [W, max_len], lens, walk_valid, overflow, n_walks_total, n_nodes).
+    With node_cap=None capacity is 2E and can never overflow; with a cap the
+    caller must check n_nodes <= node_cap (retry larger) — see build_dbg."""
     from genomeassembler_dev_tpu.dbg.doubling import walk_contigs_doubling
 
-    g = build_dbg(kmer_codes.reshape(-1), kmer_valid.reshape(-1), k)
+    g = build_dbg(kmer_codes.reshape(-1), kmer_valid.reshape(-1), k,
+                  node_cap=node_cap)
     start, prefix, valid, n_total = walk_starts_sparse(g, max_walks)
     node_char = (g.nodes & 3).astype(jnp.uint8)
     buf, lens, overflow = walk_contigs_doubling(

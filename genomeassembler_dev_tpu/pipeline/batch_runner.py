@@ -84,11 +84,18 @@ def _sim_jit(read_len: int, n_draws: int, kmer: int, seed: int, mesh):
 
 @lru_cache(maxsize=128)
 def _walk_jit(read_len: int, dbg_kmer: int, contig_cap: int, max_walks: int,
-              use_dedup: bool, dedup_cap: int, mesh):
+              use_dedup: bool, dedup_cap: int, node_cap: int, mesh):
     from genomeassembler_dev_tpu.ops.dedup import (
         dedup_with_counts, pack_read_codes, unpack_kmer_windows)
 
-    fn = contigs_dense if dbg_kmer <= DENSE_MAX_K else contigs_sparse
+    if dbg_kmer <= DENSE_MAX_K:
+        fn = contigs_dense
+    else:
+        # cap the sparse node arrays (callers check n_nodes <= node_cap):
+        # walking the full 2E-padded arrays costs ~2E/n_nodes x redundant
+        # doubling gathers — the dominant study dBG-stage cost
+        def fn(kc, kv, k, cap, mw):
+            return contigs_sparse(kc, kv, k, cap, mw, node_cap=node_cap)
 
     def per_seg(codes, valid):
         if use_dedup:
@@ -189,13 +196,17 @@ def run_experiments_batched(
         dedup_cap = 1 << (L - cfg.read_len + 1).bit_length()
         use_dedup = cfg.read_len <= 15 and dedup_cap <= rs.codes.shape[1] * 2
 
+        node_cap = 1 << max(1, cfg.contig_cap + 64 - 1).bit_length()
         walk = _walk_jit(cfg.read_len, cfg.dbg_kmer, cfg.contig_cap,
-                         max_walks, use_dedup, dedup_cap, mesh)
+                         max_walks, use_dedup, dedup_cap, node_cap, mesh)
         bufs, lens, wvalid, ovf, n_walks, n_nodes, n_u = [
             np.asarray(x) for x in walk(rs.codes, rs.valid)
         ]
         if (n_walks > max_walks).any():
             raise ValueError("walk capacity exceeded; raise max_walks")
+        if cfg.dbg_kmer > DENSE_MAX_K and (n_nodes > node_cap).any():
+            raise ValueError(
+                f"node capacity exceeded ({int(n_nodes.max())} > {node_cap})")
         if (n_u > dedup_cap).any():
             # compact_by_rank_mxu silently drops reads with rank >= cap, which
             # would corrupt contigs; cap is sized for exact-substring reads,
