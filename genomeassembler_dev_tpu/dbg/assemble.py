@@ -9,7 +9,10 @@ list that the merge stage and the reference semantics operate on
 
 from __future__ import annotations
 
+from functools import partial
+
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from genomeassembler_dev_tpu.core.encoding import decode_dna
@@ -20,6 +23,22 @@ from genomeassembler_dev_tpu.utils.compat import flaky_backend_retry
 
 # 4^10 = 1M presence bins per segment; beyond this the sparse path wins
 DENSE_MAX_K = 10
+
+
+# jitted window/pair-code extraction for the serial path: eagerly these are
+# O(k) dispatched device ops (~124 round-trips at k=31), which dominates the
+# stage on a remote backend — measured ~10 s of a 10.5 s dBG stage at
+# BASELINE config 1; jitted they run in ~30 ms
+@partial(jax.jit, static_argnames=("k",))
+def _window_codes_jit(codes, k: int):
+    return kmer_window_codes(codes, k)
+
+
+@partial(jax.jit, static_argnames=("k",))
+def _pair_codes_jit(codes, k: int):
+    from genomeassembler_dev_tpu.dbg.big_k import kmer_pair_codes
+
+    return kmer_pair_codes(codes, k)
 
 
 @flaky_backend_retry
@@ -64,9 +83,9 @@ def contigs_from_read_codes(
         raise ValueError("dbg_kmer > 31 is not supported (62-bit code limit)")
     if dbg_kmer > 15:
         # two-word code path for large k (standard for 100-150bp reads)
-        from genomeassembler_dev_tpu.dbg.big_k import contigs_big_k, kmer_pair_codes
+        from genomeassembler_dev_tpu.dbg.big_k import contigs_big_k
 
-        hi, lo, kvalid = kmer_pair_codes(codes, dbg_kmer)
+        hi, lo, kvalid = _pair_codes_jit(codes, dbg_kmer)
         kvalid = kvalid & jnp.asarray(read_valid)[:, None]
 
         def run_big(mw, nc):
@@ -81,7 +100,7 @@ def contigs_from_read_codes(
                 raise ValueError(
                     f"{int(out[4])} walks exceed capacity {max_walks}")
         return _fetch_dedup_contigs(out)
-    kcodes, kvalid = kmer_window_codes(codes, dbg_kmer)
+    kcodes, kvalid = _window_codes_jit(codes, dbg_kmer)
     kvalid = kvalid & jnp.asarray(read_valid)[:, None]
     if dbg_kmer <= DENSE_MAX_K:
         def runner(mw, _nc):

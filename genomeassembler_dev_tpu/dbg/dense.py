@@ -183,34 +183,43 @@ def contigs_dense(
     ].set(jnp.arange(max_walks, dtype=jnp.int32), mode="drop")
 
     # ---- buffers -----------------------------------------------------------
-    buf = jnp.full((max_walks, max_len), PAD)
-    cols = jnp.arange(k - 1, dtype=jnp.int32)
-    shifts = 2 * (k - 2 - cols)
-    prefix_chars = ((w_prefix_code[:, None] >> shifts[None, :]) & 3).astype(jnp.uint8)
-    buf = buf.at[:, : k - 1].set(jnp.where(wvalid[:, None], prefix_chars, PAD))
+    # flat (1D) index scatters: TPU 2D scatters pay per-element cost
+    # proportional to the row length (see dbg/doubling.py)
+    if max_walks * max_len >= 2**31:
+        raise ValueError(
+            f"walk buffer {max_walks} x {max_len} overflows int32 flat indexing")
+    flat = jnp.full(max_walks * max_len, PAD)
+    OOB = jnp.int32(min(max_walks * max_len, 2**31 - 1))
 
     wid = head_walk[uptr]  # [M]
     node_write = ~terminal & (wid >= 0)
-    rows = jnp.where(node_write, wid, max_walks)
     poss = jnp.minimum(k - 1 + uoff, max_len - 1)
-    buf = buf.at[rows, poss].set(char_c, mode="drop")
+    idx_i = jnp.where(node_write, wid * max_len + poss, OOB)
+    flat = flat.at[idx_i].set(char_c, mode="drop")
 
     # last chain node scatters terminal char + walk length
     succ_cc = jnp.maximum(succ_c, 0)  # interior => succ_c >= 0
     is_last = node_write & terminal[succ_cc]
+    idx_l = jnp.where(
+        is_last, wid * max_len + jnp.minimum(k + uoff, max_len - 1), OOB)
+    flat = flat.at[idx_l].set(char_c[succ_cc], mode="drop")
     lrows = jnp.where(is_last, wid, max_walks)
-    buf = buf.at[lrows, jnp.minimum(k + uoff, max_len - 1)].set(
-        char_c[succ_cc], mode="drop")
     lens0 = jnp.zeros(max_walks, jnp.int32).at[lrows].set(k + 1 + uoff,
                                                           mode="drop")
 
     # terminal-start walks: length k, start node's own char at column k-1
     s_c = jnp.maximum(w_start, 0)
     start_term = wvalid & terminal[s_c]
-    trow = jnp.where(start_term, jnp.arange(max_walks, dtype=jnp.int32),
-                     max_walks)
-    buf = buf.at[trow, jnp.full(max_walks, k - 1, jnp.int32)].set(
-        char_c[s_c], mode="drop")
+    idx_t = jnp.where(
+        start_term, jnp.arange(max_walks, dtype=jnp.int32) * max_len + (k - 1),
+        OOB)
+    flat = flat.at[idx_t].set(char_c[s_c], mode="drop")
+
+    buf = flat.reshape(max_walks, max_len)
+    cols = jnp.arange(k - 1, dtype=jnp.int32)
+    shifts = 2 * (k - 2 - cols)
+    prefix_chars = ((w_prefix_code[:, None] >> shifts[None, :]) & 3).astype(jnp.uint8)
+    buf = buf.at[:, : k - 1].set(jnp.where(wvalid[:, None], prefix_chars, PAD))
 
     lens = jnp.where(wvalid, jnp.where(start_term, k, lens0), 0)
     # lens0 == 0 on an interior-start walk: the up-chain did not converge in

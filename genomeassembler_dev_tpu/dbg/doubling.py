@@ -74,37 +74,47 @@ def walk_contigs_doubling(
     ].set(jnp.arange(W, dtype=jnp.int32), mode="drop")
 
     # --- assemble buffers ---------------------------------------------------
-    buf = jnp.full((W, max_len), PAD)
-
-    # prefix characters (first k-1 columns)
-    cols = jnp.arange(k - 1, dtype=jnp.int32)
-    shifts = 2 * (k - 2 - cols)
-    prefix_chars = ((walk_prefix[:, None] >> shifts[None, :]) & 3).astype(jnp.uint8)
-    buf = buf.at[:, : k - 1].set(jnp.where(walk_valid[:, None], prefix_chars, PAD))
+    # all character scatters use FLAT (1D) indices wid*max_len + pos: TPU 2D
+    # scatters pay per-element cost proportional to the row length (measured
+    # 16 s for a [4096, 100k] buffer vs milliseconds flat), 1D scatters run
+    # at tens of M elem/s
+    if W * max_len >= 2**31:
+        raise ValueError(
+            f"walk buffer {W} x {max_len} overflows int32 flat indexing")
+    flat = jnp.full(W * max_len, PAD)
+    OOB = jnp.int32(min(W * max_len, 2**31 - 1))
 
     # interior characters: one scatter over all nodes
     wid = head_walk[uptr]  # [V] walk id (or -1)
     node_ok = interior & (wid >= 0)
-    rows = jnp.where(node_ok, wid, W)
     poss = jnp.minimum(k - 1 + uoff, max_len - 1)
-    buf = buf.at[rows, poss].set(node_char, mode="drop")
+    idx_i = jnp.where(node_ok, wid * max_len + poss, OOB)
+    flat = flat.at[idx_i].set(node_char, mode="drop")
 
     # last chain node (successor is terminal) scatters the walk's terminal
     # character and total length; interior => succ >= 0
     succ_c = jnp.maximum(succ, 0)
     is_last = node_ok & terminal[succ_c]
+    idx_l = jnp.where(is_last, wid * max_len + jnp.minimum(k + uoff, max_len - 1),
+                      OOB)
+    flat = flat.at[idx_l].set(node_char[succ_c], mode="drop")
     lrows = jnp.where(is_last, wid, W)
-    buf = buf.at[lrows, jnp.minimum(k + uoff, max_len - 1)].set(
-        node_char[succ_c], mode="drop")
     lens0 = jnp.zeros(W, jnp.int32).at[lrows].set(k + 1 + uoff, mode="drop")
 
     # walks whose start node is itself terminal have length k and the start
     # node's own character at column k-1
     s_clamped = jnp.minimum(jnp.maximum(walk_start, 0), V - 1)
     start_term = walk_valid & terminal[s_clamped]
-    trow = jnp.where(start_term, jnp.arange(W, dtype=jnp.int32), W)
-    buf = buf.at[trow, jnp.full(W, k - 1, jnp.int32)].set(
-        node_char[s_clamped], mode="drop")
+    idx_t = jnp.where(start_term,
+                      jnp.arange(W, dtype=jnp.int32) * max_len + (k - 1), OOB)
+    flat = flat.at[idx_t].set(node_char[s_clamped], mode="drop")
+
+    # prefix characters (first k-1 columns): contiguous 2D update, cheap
+    buf = flat.reshape(W, max_len)
+    cols = jnp.arange(k - 1, dtype=jnp.int32)
+    shifts = 2 * (k - 2 - cols)
+    prefix_chars = ((walk_prefix[:, None] >> shifts[None, :]) & 3).astype(jnp.uint8)
+    buf = buf.at[:, : k - 1].set(jnp.where(walk_valid[:, None], prefix_chars, PAD))
 
     lens = jnp.where(walk_valid, jnp.where(start_term, k, lens0), 0)
     # a valid interior-start walk with lens0 == 0 means the up-chain did not
