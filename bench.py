@@ -119,6 +119,7 @@ def main():
             jnp.broadcast_to(uvalid[:, None], oc.shape).reshape(-1),
             4**8,
             jnp.broadcast_to(ucounts[:, None], oc.shape).reshape(-1),
+            weight_bits=16,  # multiplicities <= reads/segment < 2^16
         )
         return (
             jnp.where(wvalid, lens, 0).sum(),

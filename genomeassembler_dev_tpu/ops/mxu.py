@@ -32,17 +32,20 @@ def _split_bits(total_bits: int) -> tuple[int, int]:
     return total_bits - hi, hi  # (hi_bits, lo_bits), hi >= lo
 
 
-@partial(jax.jit, static_argnames=("nbins",))
+@partial(jax.jit, static_argnames=("nbins", "weight_bits"))
 def bincount_mxu(
-    idx: jnp.ndarray, valid: jnp.ndarray, nbins: int, weights: jnp.ndarray | None = None
+    idx: jnp.ndarray, valid: jnp.ndarray, nbins: int,
+    weights: jnp.ndarray | None = None, weight_bits: int = 24,
 ) -> jnp.ndarray:
     """(Weighted) histogram over nbins power-of-two bins via one-hot matmul.
 
     idx: [..., N] int32 in [0, nbins); valid: same shape bool; weights
-    (optional): same shape, non-negative integers < 2^24. Scatter-add runs
-    near-scalar on TPU; this is the MXU reformulation (module docstring).
-    Returns [..., nbins] float32 counts / weight sums (exact integers —
-    weights are split into 8-bit limbs so every matmul input is bf16-exact).
+    (optional): same shape, non-negative integers < 2^weight_bits (each
+    8-bit limb costs one matmul pass — pass a tight weight_bits when the
+    caller knows the bound, e.g. 16 for per-segment read multiplicities).
+    Scatter-add runs near-scalar on TPU; this is the MXU reformulation
+    (module docstring). Returns [..., nbins] float32 counts / weight sums
+    (exact integers — 8-bit limbs keep every matmul input bf16-exact).
     """
     bits = nbins.bit_length() - 1
     assert (1 << bits) == nbins, "nbins must be a power of two"
@@ -65,7 +68,7 @@ def bincount_mxu(
         limbs = [
             (oh_hi.astype(jnp.bfloat16)
              * ((w >> s) & 255).astype(jnp.bfloat16)[..., None], s)
-            for s in (0, 8, 16)  # weights < 2^24, 8-bit limbs
+            for s in range(0, weight_bits, 8)  # 8-bit limbs
         ]
     counts = 0.0
     for oh_hi_w, shift in limbs:
@@ -126,6 +129,10 @@ def compact_by_rank_mxu(mask: jnp.ndarray, weights: tuple, size: int):
     jlo = rank & (L - 1)
     oh_lo = (jlo[:, None] == jnp.arange(L, dtype=jnp.int32)).astype(jnp.bfloat16)
     base_hi = (jhi[:, None] == jnp.arange(H, dtype=jnp.int32)) & mask[:, None]
+    # NB: keep one dot per weight — XLA fuses each one-hot construction into
+    # its dot operand read; stacking the weights into one [V, W*H] operand
+    # materializes it in HBM and measured 2.3x SLOWER despite better MXU
+    # tile utilization (tools/prof_dense.py)
     outs = []
     for w in weights:
         oh_hi_w = base_hi.astype(jnp.bfloat16) * w.astype(jnp.bfloat16)[:, None]
@@ -175,6 +182,9 @@ def permutation_gather_mxu(vals: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
         )
+    # NB: the balanced split is measured-best — shrinking L (to cut the
+    # [M, L*C] tmp) grows the [M, H] hi one-hot and measured ~28% slower at
+    # the walk's M=1024 (tools/prof_dense.py)
     lo_bits = bits // 2
     H, L = M >> lo_bits, 1 << lo_bits
     hi = (idx >> lo_bits).astype(jnp.int32)

@@ -1,0 +1,74 @@
+"""Fused pointer-doubling chase as a Pallas TPU kernel.
+
+The dense walker's upstream chase (dbg/dense.py) runs log2(M) pointer-
+doubling iterations; as XLA ops each iteration writes its [B, M, L*C]
+two-level-gather intermediate to HBM and reads it back — measured ~0.9 ms
+per iteration for B=256, M=1024 on v5e, ~9 ms of the headline bench step.
+
+This kernel keeps the whole chase in VMEM: per segment the (uptr, uoff)
+state is two [M] registers, each iteration builds the [M, M] one-hot gather
+matrix in VMEM and contracts it on the MXU, and only the final state touches
+HBM. The one-hot compare is ~M^2 VPU ops/iteration — at M=1024 that is 1M
+bf16 compares, far cheaper than the HBM round-trips it replaces.
+
+Exactness: uptr < M <= 2^24 and uoff <= M are exact in f32; the one-hot
+matrix is 0/1 (exact in bf16) and each output cell accumulates exactly one
+product in the f32 MXU accumulator.
+
+Semantics match the pure-XLA loop in dbg/dense.py / dbg/doubling.py:
+  for _ in range(n_iters): uoff += uoff[uptr]; uptr = uptr[uptr]
+(the parallel list-ranking of the reference's sequential walk,
+lib/DeNovoAssembler.cpp:171-189).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+
+def _kernel(uptr_ref, uoff_ref, optr_ref, ooff_ref, *, n_iters, M):
+    uptr = uptr_ref[0]  # [M] int32
+    uoff = uoff_ref[0]  # [M] f32
+    iota = jax.lax.broadcasted_iota(jnp.int32, (M, M), 1)
+    for _ in range(n_iters):
+        onehot = (uptr[:, None] == iota).astype(jnp.float32)  # [M, M]
+        vals = jnp.stack([uptr.astype(jnp.float32), uoff], axis=-1)  # [M, 2]
+        g = jnp.dot(onehot, vals, preferred_element_type=jnp.float32)
+        uptr = g[:, 0].astype(jnp.int32)
+        uoff = uoff + g[:, 1]
+    optr_ref[0] = uptr
+    ooff_ref[0] = uoff
+
+
+@partial(jax.jit, static_argnames=("n_iters", "interpret"))
+def doubling_chase(uptr: jnp.ndarray, uoff: jnp.ndarray, n_iters: int,
+                   interpret: bool = False):
+    """Batched fused pointer-doubling: uptr [B, M] int32 (self-loops at
+    fixpoints), uoff [B, M] float32. Returns (uptr', uoff') after n_iters
+    doubling steps. M must be a multiple of 128 (lane width)."""
+    B, M = uptr.shape
+    if M % 128:
+        raise ValueError(f"M={M} must be a multiple of 128")
+    grid = (B,)
+    spec = pl.BlockSpec((1, M), lambda b: (b, 0))
+    return pl.pallas_call(
+        partial(_kernel, n_iters=n_iters, M=M),
+        grid=grid,
+        in_specs=[spec, spec],
+        out_specs=[spec, spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, M), jnp.int32),
+            jax.ShapeDtypeStruct((B, M), jnp.float32),
+        ],
+        interpret=interpret,
+    )(uptr, uoff)
+
+
+def doubling_chase_auto(uptr: jnp.ndarray, uoff: jnp.ndarray, n_iters: int):
+    """Kernel on TPU, interpret-mode elsewhere (same numerics)."""
+    interpret = jax.devices()[0].platform != "tpu"
+    return doubling_chase(uptr, uoff, n_iters, interpret=interpret)

@@ -43,7 +43,11 @@ def timeit(fn, *args, reps=10):
 def _fetch(out):
     while isinstance(out, (tuple, list)):
         out = out[0]
-    np.asarray(out).ravel()[:1]
+    # slice ON DEVICE before the host fetch: np.asarray(whole) would drag
+    # the full array over the ~25-50 MB/s tunnel and poison the timing
+    if hasattr(out, "ravel"):
+        out = out.ravel()[:1]
+    np.asarray(out)
 
 
 def main():
