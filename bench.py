@@ -19,8 +19,9 @@ All diagnostics go to stderr.
 from __future__ import annotations
 
 import json
-import statistics
+import os
 import sys
+import threading
 import time
 
 import numpy as np
@@ -30,7 +31,36 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def _device_alive(timeout_s: int = 600) -> bool:
+# one-shot emitter + watchdog: the r02 driver run timed out inside an extra
+# and captured NO JSON at all (BENCH_r02.json rc=124, parsed=null). The
+# headline payload is registered as soon as the core measurement exists; a
+# watchdog hard-exits (after printing it) when the extras budget runs out, so
+# the driver always sees exactly one JSON line within bounded wall time.
+_emit_lock = threading.Lock()
+_emitted = False
+
+
+def emit(payload: dict) -> None:
+    global _emitted
+    with _emit_lock:
+        if not _emitted:
+            print(json.dumps(payload), flush=True)
+            _emitted = True
+
+
+def start_watchdog(payload: dict, seconds: float) -> threading.Timer:
+    def fire():
+        log(f"watchdog: extras budget ({seconds:.0f}s) exhausted; emitting")
+        emit(payload)
+        os._exit(0)
+
+    t = threading.Timer(seconds, fire)
+    t.daemon = True
+    t.start()
+    return t
+
+
+def _device_alive(timeout_s: int = 360) -> bool:
     """Probe TPU compute in a subprocess (a wedged relay hangs device ops
     indefinitely; a hung bench reports nothing, a CPU fallback reports
     something)."""
@@ -193,9 +223,53 @@ def main():
         log("native engine unavailable; vs_baseline = NaN")
 
     extras = {}
+    payload = {
+        "metric": "reads_per_sec_kmer_count_plus_dbg_build",
+        "value": round(tpu_rps, 1),
+        "unit": "reads/s",
+        "vs_baseline": round(vs_baseline, 3) if vs_baseline == vs_baseline else None,
+        "extras": extras,  # extras mutate in place as they complete
+    }
+    extras_budget = float(os.environ.get("GA_BENCH_EXTRAS_S", "240"))
+    t_extras0 = time.perf_counter()
+    remaining = lambda: extras_budget - (time.perf_counter() - t_extras0)
+    watchdog = start_watchdog(payload, extras_budget)
+
+    # --- extra: end-to-end experiments/s (simulate -> dBG -> 10k-ordering
+    # merge -> double scoring -> KS -> Levenshtein), batched runner. Runs
+    # FIRST: it is the round-1 ask that has never been driver-captured ------
+    try:
+        from genomeassembler_dev_tpu.pipeline.batch_runner import (
+            run_experiments_batched)
+        from genomeassembler_dev_tpu.pipeline.config import ExperimentConfig
+        from genomeassembler_dev_tpu.sim.segments import synthetic_genome as sg
+
+        cfg = ExperimentConfig(seq_len=1000, read_len=12, dbg_kmer=9,
+                               coverage_target=40.0, kmer=8, seed=1234,
+                               n_orderings=10000)
+        segs = [sg(1000 + i, 1000) for i in range(32)]
+        tbl = load_default_query_table()
+        t0 = time.perf_counter()
+        res = run_experiments_batched(cfg, segs, tbl)  # compile + run
+        t_cold = time.perf_counter() - t0
+        assert len(res) == len(segs) and all(r.n_solutions >= 1 for r in res)
+        extras["experiments_per_sec_e2e_cold"] = round(len(segs) / t_cold, 3)
+        log(f"e2e batched study (cold): {len(segs)} experiments in "
+            f"{t_cold:.1f} s -> {len(segs) / t_cold:.2f} experiments/s")
+        if remaining() > 1.5 * t_cold / 4:  # warm pass reuses every compile
+            t0 = time.perf_counter()
+            res = run_experiments_batched(cfg, segs, tbl)
+            t_e2e = time.perf_counter() - t0
+            extras["experiments_per_sec_e2e"] = round(len(segs) / t_e2e, 3)
+            log(f"e2e batched study: {len(segs)} experiments in {t_e2e:.1f} s"
+                f" -> {len(segs) / t_e2e:.2f} experiments/s (warm)")
+    except Exception as e:
+        log(f"e2e experiments/s extra skipped: {e}")
 
     # --- extra: edit-distance throughput ------------------------------------
     try:
+        if remaining() < 45:
+            raise TimeoutError("extras budget low; skipping edit-distance")
         from genomeassembler_dev_tpu.ops.edit_distance import batched_levenshtein_auto
 
         S, M = 256, 1024
@@ -218,8 +292,8 @@ def main():
         # flagship HW-mode Myers shape (velvet-scale target length). Full
         # 2048-query batch costs minutes; bench uses 256 queries (one rep)
         # and GA_BENCH_FULL=1 unlocks the full 2048x2048x50000 shape.
-        import os
-
+        if remaining() < 60:
+            raise TimeoutError("extras budget low; skipping HW edit-distance")
         S2 = 2048 if os.environ.get("GA_BENCH_FULL") else 256
         M2, T2 = 2048, 50000
         qs2 = jnp.asarray(rng.integers(0, 4, (S2, M2)).astype(np.uint8))
@@ -239,38 +313,8 @@ def main():
     except Exception as e:  # extras must not break the bench
         log(f"edit-distance extras skipped: {e}")
 
-    # --- extra: end-to-end experiments/s (simulate -> dBG -> 10k-ordering
-    # merge -> double scoring -> KS -> Levenshtein), batched runner ----------
-    try:
-        from genomeassembler_dev_tpu.core.querytable import load_default_query_table
-        from genomeassembler_dev_tpu.pipeline.batch_runner import (
-            run_experiments_batched)
-        from genomeassembler_dev_tpu.pipeline.config import ExperimentConfig
-        from genomeassembler_dev_tpu.sim.segments import synthetic_genome as sg
-
-        cfg = ExperimentConfig(seq_len=1000, read_len=12, dbg_kmer=9,
-                               coverage_target=40.0, kmer=8, seed=1234,
-                               n_orderings=10000)
-        segs = [sg(1000 + i, 1000) for i in range(32)]
-        tbl = load_default_query_table()
-        _ = run_experiments_batched(cfg, segs, tbl)  # compile
-        t0 = time.perf_counter()
-        res = run_experiments_batched(cfg, segs, tbl)
-        t_e2e = time.perf_counter() - t0
-        assert len(res) == len(segs) and all(r.n_solutions >= 1 for r in res)
-        extras["experiments_per_sec_e2e"] = round(len(segs) / t_e2e, 3)
-        log(f"e2e batched study: {len(segs)} experiments in {t_e2e:.1f} s -> "
-            f"{len(segs) / t_e2e:.2f} experiments/s (warm)")
-    except Exception as e:
-        log(f"e2e experiments/s extra skipped: {e}")
-
-    print(json.dumps({
-        "metric": "reads_per_sec_kmer_count_plus_dbg_build",
-        "value": round(tpu_rps, 1),
-        "unit": "reads/s",
-        "vs_baseline": round(vs_baseline, 3) if vs_baseline == vs_baseline else None,
-        "extras": extras,
-    }))
+    watchdog.cancel()
+    emit(payload)
 
 
 if __name__ == "__main__":

@@ -68,6 +68,7 @@ def _walk_cap_ladder(run, n_kmers: int, max_contig_len: int):
         mw = 1 << (n_total - 1).bit_length()
 
 
+@flaky_backend_retry
 def contigs_from_read_codes(
     read_codes: np.ndarray,  # [N, R] base codes
     read_valid: np.ndarray,  # [N] bool

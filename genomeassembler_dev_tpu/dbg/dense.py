@@ -82,6 +82,77 @@ def _sort_compact(mask: jnp.ndarray, size: int):
     return jnp.minimum(s, N - 1), valid, mask.sum().astype(jnp.int32)
 
 
+def _node_table_dense(kmer_codes: jnp.ndarray, kmer_valid: jnp.ndarray,
+                      k: int, M: int):
+    """Compacted active-node table from the dense 4^k presence bitmap.
+
+    Returns (nodes_c [M] ascending dense (k-1)-mer ids, c_nib [M] packed
+    out|in<<4 edge nibbles, n_nodes true count). O(4^k) work — right when
+    the k-mer windows outnumber the table."""
+    from genomeassembler_dev_tpu.ops.mxu import compact_by_rank_mxu
+
+    presence = count_kmers_mxu(kmer_codes.reshape(-1), kmer_valid.reshape(-1), k) > 0
+    V = 4 ** (k - 1)
+
+    # the 4 out-edges of a prefix are adjacent codes, the 4 in-edges of a
+    # suffix are V-strided: both nibbles come from pure reshapes
+    four = jnp.array([1, 2, 4, 8], jnp.int32)
+    nib_out = (presence.reshape(V, 4).astype(jnp.int32) * four).sum(axis=1)
+    nib_in = (presence.reshape(4, V).astype(jnp.int32) * four[:, None]).sum(axis=0)
+    active = (nib_out | nib_in) > 0
+
+    # compact active nodes (ascending id = rank order) via the MXU; weights
+    # are 8-bit limbs: node id (2 limbs for k <= 9, 3 beyond) and the nibbles
+    node = jnp.arange(V, dtype=jnp.int32)
+    id_limbs = [(node >> s) & 255 for s in range(0, 2 * (k - 1), 8)]
+    compacted, n_nodes = compact_by_rank_mxu(
+        active, tuple(id_limbs + [nib_out | (nib_in << 4)]), M)
+    nodes_c = sum(c << (8 * i) for i, c in enumerate(compacted[:-1]))
+    return nodes_c, compacted[-1], n_nodes
+
+
+def _node_table_sorted(kmer_codes: jnp.ndarray, kmer_valid: jnp.ndarray,
+                       k: int, M: int):
+    """Same contract as _node_table_dense, built from the 2N edge items by
+    one sort + rank scatter — O(N log N) instead of O(4^k), the win when the
+    windows are few and k is large (study shapes: ~8k items vs 262k dense
+    bins at k=9; measured ~3x faster for the s1+s2 stages).
+
+    Each k-mer edge contributes two items packed (node_id << 8) | nibble_bit:
+    its prefix node with the out-edge bit 1<<last_char, and its suffix node
+    with the in-edge bit 16<<first_char. After sorting, distinct items of one
+    node carry DISTINCT single-bit nibbles, so summing unique items per node
+    == OR — one weighted rank-histogram (MXU) yields the packed nibbles, and
+    run-last rows scatter the node ids, with rank = distinct-ids-so-far."""
+    from genomeassembler_dev_tpu.ops.mxu import scatter_by_rank_mxu
+
+    V = 4 ** (k - 1)
+    SENT = jnp.int32(2**30)
+    e = kmer_codes.reshape(-1).astype(jnp.int32)
+    v = kmer_valid.reshape(-1)
+    out_item = ((e >> 2) << 8) | (1 << (e & 3))
+    in_item = ((e & (V - 1)) << 8) | (16 << (e >> (2 * (k - 1))))
+    items = jnp.concatenate(
+        [jnp.where(v, out_item, SENT), jnp.where(v, in_item, SENT)])
+    s = jnp.sort(items)
+    valid = s < SENT
+    head1 = jnp.ones((1,), bool)
+    uniq = valid & jnp.concatenate([head1, s[1:] != s[:-1]])
+    sid = s >> 8
+    id_start = valid & jnp.concatenate([head1, sid[1:] != sid[:-1]])
+    run_last = valid & jnp.concatenate([sid[1:] != sid[:-1], head1])
+    rank = jnp.cumsum(id_start.astype(jnp.int32)) - 1
+    id_limbs = [
+        jnp.where(run_last, (sid >> t) & 255, 0)
+        for t in range(0, 2 * (k - 1), 8)
+    ]
+    nib_w = jnp.where(uniq, s & 255, 0)
+    outs = scatter_by_rank_mxu(rank, valid, tuple(id_limbs + [nib_w]), M)
+    nodes_c = sum(c << (8 * i) for i, c in enumerate(outs[:-1]))
+    n_nodes = id_start.sum().astype(jnp.int32)
+    return nodes_c, outs[-1], n_nodes
+
+
 @partial(jax.jit, static_argnames=("k", "max_len", "max_walks", "node_cap"))
 def contigs_dense(
     kmer_codes: jnp.ndarray,
@@ -97,30 +168,18 @@ def contigs_dense(
     n_walks_total, n_nodes_total). Callers must check n_walks_total <=
     max_walks and n_nodes_total <= node_cap (else retry with larger caps).
     """
-    from genomeassembler_dev_tpu.ops.mxu import compact_by_rank_mxu, searchsorted_mxu
+    from genomeassembler_dev_tpu.ops.mxu import searchsorted_mxu
 
-    presence = count_kmers_mxu(kmer_codes.reshape(-1), kmer_valid.reshape(-1), k) > 0
     V = 4 ** (k - 1)
     M = min(node_cap, V)
     max_walks = min(max_walks, 4 * M)  # walks are (branch node, char) pairs
 
-    # ---- per-node edge nibbles from the dense presence bitmap -------------
-    # the 4 out-edges of a prefix are adjacent codes, the 4 in-edges of a
-    # suffix are V-strided: both nibbles come from pure reshapes
-    four = jnp.array([1, 2, 4, 8], jnp.int32)
-    nib_out = (presence.reshape(V, 4).astype(jnp.int32) * four).sum(axis=1)
-    nib_in = (presence.reshape(4, V).astype(jnp.int32) * four[:, None]).sum(axis=0)
-    active = (nib_out | nib_in) > 0
-
-    # ---- compact active nodes (ascending id = rank order) via the MXU -----
-    # weights are 8-bit limbs: node id (2 limbs for k <= 9, 3 beyond) and the
-    # packed out|in edge nibbles — no sort and no dense-table gathers
-    node = jnp.arange(V, dtype=jnp.int32)
-    id_limbs = [(node >> s) & 255 for s in range(0, 2 * (k - 1), 8)]
-    compacted, n_nodes = compact_by_rank_mxu(
-        active, tuple(id_limbs + [nib_out | (nib_in << 4)]), M)
-    nodes_c = sum(c << (8 * i) for i, c in enumerate(compacted[:-1]))
-    c_nib = compacted[-1]
+    # item-sort work is O(2N log 2N), dense-table work is O(4^k): static
+    # dispatch on which is smaller (factor measured on v5e, tools/prof_r3.py)
+    if 8 * kmer_codes.size <= 4**k:
+        nodes_c, c_nib, n_nodes = _node_table_sorted(kmer_codes, kmer_valid, k, M)
+    else:
+        nodes_c, c_nib, n_nodes = _node_table_dense(kmer_codes, kmer_valid, k, M)
     node_ok = jnp.arange(M, dtype=jnp.int32) < n_nodes
 
     bits_out = ((c_nib[:, None] >> jnp.arange(4)) & 1)

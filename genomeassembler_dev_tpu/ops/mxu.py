@@ -144,6 +144,35 @@ def compact_by_rank_mxu(mask: jnp.ndarray, weights: tuple, size: int):
     return outs, mask.sum().astype(jnp.int32)
 
 
+@partial(jax.jit, static_argnames=("size",))
+def scatter_by_rank_mxu(rank: jnp.ndarray, mask: jnp.ndarray, weights: tuple,
+                        size: int):
+    """Sum each `weights[i]` into its `rank` bin via hi/lo one-hot matmuls.
+
+    Generalizes compact_by_rank_mxu to caller-supplied ranks and per-weight
+    accumulation: several active rows may share a rank, in which case their
+    weights ADD (exact while every partial sum stays < 2^24 and each weight
+    value is an integer in [0, 256)). rank: [V] int32 (rows with mask False
+    or rank >= size are dropped); weights: tuple of [V] int arrays.
+    Returns list of [size] int32 arrays."""
+    bits = size.bit_length() - 1
+    assert (1 << bits) == size, "size must be a power of two"
+    lo_bits = bits // 2
+    H, L = size >> lo_bits, 1 << lo_bits
+    ok = mask & (rank < size)
+    jhi = rank >> lo_bits
+    jlo = rank & (L - 1)
+    oh_lo = (jlo[:, None] == jnp.arange(L, dtype=jnp.int32)).astype(jnp.bfloat16)
+    base_hi = (jhi[:, None] == jnp.arange(H, dtype=jnp.int32)) & ok[:, None]
+    outs = []
+    for w in weights:
+        oh_hi_w = base_hi.astype(jnp.bfloat16) * w.astype(jnp.bfloat16)[:, None]
+        out = jnp.einsum("vh,vl->hl", oh_hi_w, oh_lo,
+                         preferred_element_type=jnp.float32)
+        outs.append(out.reshape(size).astype(jnp.int32))
+    return outs
+
+
 def searchsorted_mxu(sorted_vals: jnp.ndarray, queries: jnp.ndarray) -> jnp.ndarray:
     """searchsorted-left as a compare-sum: idx[i] = #{j : sorted[j] < q[i]}.
 

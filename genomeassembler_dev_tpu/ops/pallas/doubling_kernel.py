@@ -11,9 +11,11 @@ matrix in VMEM and contracts it on the MXU, and only the final state touches
 HBM. The one-hot compare is ~M^2 VPU ops/iteration — at M=1024 that is 1M
 bf16 compares, far cheaper than the HBM round-trips it replaces.
 
-Exactness: uptr < M <= 2^24 and uoff <= M are exact in f32; the one-hot
-matrix is 0/1 (exact in bf16) and each output cell accumulates exactly one
-product in the f32 MXU accumulator.
+Exactness: the MXU multiplies in bf16 (8-bit mantissa), so values are split
+into 8-bit limbs before the contraction — the one-hot rows are exact 0/1,
+each limb is an integer < 256 (bf16-exact), and each output cell accumulates
+exactly one product in the f32 accumulator. uptr < M <= 2^16 and
+uoff <= M cover two limbs each.
 
 Semantics match the pure-XLA loop in dbg/dense.py / dbg/doubling.py:
   for _ in range(n_iters): uoff += uoff[uptr]; uptr = uptr[uptr]
@@ -29,30 +31,44 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
+# [M, M] bf16 one-hot + [M, M] int32 iota must fit VMEM (~16 MB/core)
+MAX_KERNEL_M = 1024
+
 
 def _kernel(uptr_ref, uoff_ref, optr_ref, ooff_ref, *, n_iters, M):
     uptr = uptr_ref[0]  # [M] int32
-    uoff = uoff_ref[0]  # [M] f32
+    uoff = uoff_ref[0].astype(jnp.int32)  # [M] (f32 in HBM, int math here)
     iota = jax.lax.broadcasted_iota(jnp.int32, (M, M), 1)
     for _ in range(n_iters):
-        onehot = (uptr[:, None] == iota).astype(jnp.float32)  # [M, M]
-        vals = jnp.stack([uptr.astype(jnp.float32), uoff], axis=-1)  # [M, 2]
+        onehot = (uptr[:, None] == iota).astype(jnp.bfloat16)  # [M, M]
+        vals = jnp.stack(
+            [
+                (uptr >> 8).astype(jnp.bfloat16),
+                (uptr & 255).astype(jnp.bfloat16),
+                (uoff >> 8).astype(jnp.bfloat16),
+                (uoff & 255).astype(jnp.bfloat16),
+            ],
+            axis=-1,
+        )  # [M, 4] 8-bit limbs, exact in bf16
         g = jnp.dot(onehot, vals, preferred_element_type=jnp.float32)
-        uptr = g[:, 0].astype(jnp.int32)
-        uoff = uoff + g[:, 1]
+        uptr = (g[:, 0] * 256.0 + g[:, 1]).astype(jnp.int32)
+        uoff = uoff + (g[:, 2] * 256.0 + g[:, 3]).astype(jnp.int32)
     optr_ref[0] = uptr
-    ooff_ref[0] = uoff
+    ooff_ref[0] = uoff.astype(jnp.float32)
 
 
 @partial(jax.jit, static_argnames=("n_iters", "interpret"))
 def doubling_chase(uptr: jnp.ndarray, uoff: jnp.ndarray, n_iters: int,
                    interpret: bool = False):
     """Batched fused pointer-doubling: uptr [B, M] int32 (self-loops at
-    fixpoints), uoff [B, M] float32. Returns (uptr', uoff') after n_iters
-    doubling steps. M must be a multiple of 128 (lane width)."""
+    fixpoints), uoff [B, M] float32 (integers <= M). Returns (uptr', uoff')
+    after n_iters doubling steps. M must be a multiple of 128 (lane width)
+    and <= MAX_KERNEL_M (one-hot + iota VMEM residency)."""
     B, M = uptr.shape
     if M % 128:
         raise ValueError(f"M={M} must be a multiple of 128")
+    if M > MAX_KERNEL_M:
+        raise ValueError(f"M={M} exceeds kernel VMEM bound {MAX_KERNEL_M}")
     grid = (B,)
     spec = pl.BlockSpec((1, M), lambda b: (b, 0))
     return pl.pallas_call(

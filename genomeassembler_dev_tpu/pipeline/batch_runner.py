@@ -89,7 +89,11 @@ def _walk_jit(read_len: int, dbg_kmer: int, contig_cap: int, max_walks: int,
         dedup_with_counts, pack_read_codes, unpack_kmer_windows)
 
     if dbg_kmer <= DENSE_MAX_K:
-        fn = contigs_dense
+        # thread the runner-computed node_cap through (the default 1024 was
+        # silently undersized for long segments: compact_by_rank_mxu drops
+        # nodes with rank >= cap, corrupting contigs with no error)
+        def fn(kc, kv, k, cap, mw):
+            return contigs_dense(kc, kv, k, cap, mw, node_cap=node_cap)
     else:
         # cap the sparse node arrays (callers check n_nodes <= node_cap):
         # walking the full 2E-padded arrays costs ~2E/n_nodes x redundant
@@ -196,7 +200,13 @@ def run_experiments_batched(
         dedup_cap = 1 << (L - cfg.read_len + 1).bit_length()
         use_dedup = cfg.read_len <= 15 and dedup_cap <= rs.codes.shape[1] * 2
 
-        node_cap = 1 << max(1, cfg.contig_cap + 64 - 1).bit_length()
+        if cfg.dbg_kmer <= DENSE_MAX_K:
+            # simulated reads are genome substrings, so distinct (k-1)-mer
+            # nodes <= L - k + 2; power-of-two ladder for jit-cache reuse
+            node_cap = 1 << max(6, (L - cfg.dbg_kmer + 1).bit_length())
+            node_cap = min(node_cap, 4 ** (cfg.dbg_kmer - 1))
+        else:
+            node_cap = 1 << max(1, cfg.contig_cap + 64 - 1).bit_length()
         walk = _walk_jit(cfg.read_len, cfg.dbg_kmer, cfg.contig_cap,
                          max_walks, use_dedup, dedup_cap, node_cap, mesh)
         bufs, lens, wvalid, ovf, n_walks, n_nodes, n_u = [
@@ -204,7 +214,9 @@ def run_experiments_batched(
         ]
         if (n_walks > max_walks).any():
             raise ValueError("walk capacity exceeded; raise max_walks")
-        if cfg.dbg_kmer > DENSE_MAX_K and (n_nodes > node_cap).any():
+        if (n_nodes > node_cap).any():
+            # dense drops nodes with rank >= cap (corrupt contigs), sparse
+            # slices its arrays — either way the outputs are wrong: fail loud
             raise ValueError(
                 f"node capacity exceeded ({int(n_nodes.max())} > {node_cap})")
         if (n_u > dedup_cap).any():

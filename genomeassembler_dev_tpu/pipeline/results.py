@@ -19,7 +19,7 @@ import os
 
 import numpy as np
 
-from genomeassembler_dev_tpu.pipeline.assembler import RESULT_COLUMNS, ExperimentResult
+from genomeassembler_dev_tpu.pipeline.assembler import ExperimentResult
 from genomeassembler_dev_tpu.pipeline.config import ExperimentConfig
 
 
@@ -52,7 +52,11 @@ def save_result(workdir: str, ind: int, cfg: ExperimentConfig, res: ExperimentRe
     os.makedirs(d, exist_ok=True)
     path = solutions_path(workdir, ind, cfg)
     cols = res.columns
-    names = [c for c in RESULT_COLUMNS if c in cols] or list(cols)
+    # save the result's own column set/order: the velvet path carries extra
+    # columns (path_prob_dist_startpos — lib/BreakageScorer.cpp:343-353,
+    # consumed at lib/DeNovoAssembler.R:361-371) that a RESULT_COLUMNS filter
+    # would silently drop
+    names = list(cols)
     n = len(cols[names[0]])
     with open(path, "w", newline="") as f:
         w = csv.writer(f)

@@ -295,6 +295,41 @@ class TestDedupMXU:
         np.testing.assert_array_equal(got[: want.size], want)
         assert (got[want.size:] == 0).all()
 
+    def test_node_table_sorted_matches_dense(self):
+        """The sort-scan node-table builder (one sort + rank scatter over 2N
+        edge items) must produce the identical compacted (ids, nibbles,
+        count) triple as the 4^k presence-bitmap builder for every k it can
+        dispatch to."""
+        from genomeassembler_dev_tpu.dbg.dense import (
+            _node_table_dense, _node_table_sorted)
+
+        rng = np.random.default_rng(11)
+        for k in (5, 9, 10):
+            for _ in range(3):
+                n = int(rng.integers(50, 400))
+                codes = jnp.asarray(rng.integers(0, 4**k, n).astype(np.int32))
+                valid = jnp.asarray(rng.random(n) < 0.9)
+                a = _node_table_dense(codes, valid, k, 256)
+                b = _node_table_sorted(codes, valid, k, 256)
+                assert int(a[2]) == int(b[2])
+                m = min(int(a[2]), 256)
+                np.testing.assert_array_equal(
+                    np.asarray(a[0])[:m], np.asarray(b[0])[:m])
+                np.testing.assert_array_equal(
+                    np.asarray(a[1])[:m], np.asarray(b[1])[:m])
+
+    def test_scatter_by_rank_accumulates(self):
+        from genomeassembler_dev_tpu.ops.mxu import scatter_by_rank_mxu
+
+        rng = np.random.default_rng(12)
+        rank = rng.integers(0, 64, 500).astype(np.int32)
+        mask = rng.random(500) < 0.8
+        w = rng.integers(0, 4, 500).astype(np.int32)  # sums stay < 256
+        (got,) = scatter_by_rank_mxu(
+            jnp.asarray(rank), jnp.asarray(mask), (jnp.asarray(w),), 64)
+        want = np.bincount(rank[mask], weights=w[mask], minlength=64)
+        np.testing.assert_array_equal(np.asarray(got), want)
+
     def test_dedup_with_counts_matches_numpy(self):
         from genomeassembler_dev_tpu.ops.dedup import (
             dedup_with_counts, pack_read_codes, unpack_kmer_windows)

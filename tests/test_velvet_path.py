@@ -98,6 +98,30 @@ class TestIndustryPath:
         bp = res.columns["bp_score_true"]
         assert (np.diff(bp) <= 1e-9).all()
 
+    def test_result_csv_roundtrip_keeps_velvet_columns(self, tmp_path, table):
+        """save_result must persist the velvet path's own column set —
+        including path_prob_dist_startpos (lib/BreakageScorer.cpp:343-353),
+        which a RESULT_COLUMNS filter silently dropped."""
+        from genomeassembler_dev_tpu.pipeline.results import (
+            load_result_columns, save_result, solutions_path)
+
+        cfg = ExperimentConfig(
+            seq_len=300, read_len=12, coverage_target=12.0, kmer=8,
+            dbg_kmer=9, seed=1234, industry_standard=True,
+            velvet_n_orderings=200,
+        )
+        g = synthetic_genome(10, 300)
+        contigs = [g[0:120], g[110:230], g[220:300]]
+        asm = IndustryAssembler(cfg, table)
+        res = asm.run_external(g, contigs)
+        save_result(str(tmp_path), 0, cfg, res)
+        back = load_result_columns(solutions_path(str(tmp_path), 0, cfg))
+        assert list(back) == VELVET_RESULT_COLUMNS
+        np.testing.assert_array_equal(
+            np.asarray(back["path_prob_dist_startpos"], np.int64),
+            np.asarray(res.columns["path_prob_dist_startpos"], np.int64),
+        )
+
     def test_velvet_ordering_config(self, table):
         # default: 20,000 orderings (BreakageScorer.cpp:86); explicit values
         # pass through — including an explicit 10,000, which the old
