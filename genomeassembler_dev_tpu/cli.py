@@ -27,11 +27,22 @@ def _add_common(p):
     p.add_argument("--coverage", type=float, default=40.0)
     p.add_argument("--seed", type=int, default=1234)
     p.add_argument("--n-orderings", type=int, default=10000)
+    p.add_argument("--traversal", default="standard",
+                   choices=["standard", "biased"],
+                   help="biased = probability-guided branch continuation "
+                        "(BASELINE config 4)")
     p.add_argument("--segments-fasta", default=None)
     p.add_argument("--synthetic", action="store_true",
                    help="use a seeded synthetic segment store")
+    p.add_argument("--repeat-segments", action="store_true",
+                   help="plant segmental duplications in synthetic segments "
+                        "(repeat structure like real genomic sequence)")
     p.add_argument("--total-iters", type=int, default=10)
     p.add_argument("--verbose", action="store_true")
+    p.add_argument("--plots", action="store_true",
+                   help="emit per-experiment diagnostic plots "
+                        "(probability track, breakpoint histogram, "
+                        "score-vs-Levenshtein boxplots)")
 
 
 def _segments(args):
@@ -39,7 +50,9 @@ def _segments(args):
 
     if args.segments_fasta:
         return SegmentStore.load(args.segments_fasta)
-    return synthetic_segment_store(args.seed, args.seq_len, args.total_iters)
+    return synthetic_segment_store(
+        args.seed, args.seq_len, args.total_iters,
+        repeats=getattr(args, "repeat_segments", False))
 
 
 def _config(args, **over):
@@ -49,6 +62,7 @@ def _config(args, **over):
         seq_len=args.seq_len, read_len=args.read_len, dbg_kmer=args.dbg_kmer,
         kmer=args.kmer, coverage_target=args.coverage, seed=args.seed,
         n_orderings=args.n_orderings,
+        traversal=getattr(args, "traversal", "standard"),
     ).with_(**over)
 
 
@@ -62,8 +76,15 @@ def cmd_run(args):
     ind = args.ind
     res = asm.run_experiment(segs.seqs[ind - 1])
     path = res_io.save_result(args.workdir, ind, cfg, res)
-    print(json.dumps({"solutions": res.n_solutions, "csv": path,
-                      "stats": {k: v for k, v in res.stats.items() if k != "genome_seq"}}))
+    out = {"solutions": res.n_solutions, "csv": path,
+           "stats": {k: v for k, v in res.stats.items() if k != "genome_seq"}}
+    if args.plots:
+        from genomeassembler_dev_tpu.pipeline.experiments import (
+            emit_experiment_plots)
+
+        out["plots"] = emit_experiment_plots(
+            args.workdir, ind, cfg, res, segs.seqs[ind - 1], asm.table)
+    print(json.dumps(out))
 
 
 def cmd_study_own(args):
@@ -76,10 +97,36 @@ def cmd_study_own(args):
     rep = run_own_study(
         args.workdir, segs, base=_config(args), grid=grid,
         total_iters=args.total_iters, verbose=args.verbose,
-        batched=args.batched, seg_batch=args.seg_batch,
+        batched=args.batched, seg_batch=args.seg_batch, plots=args.plots,
     )
     print(json.dumps({"summary": rep.summary_path, "all": rep.all_path,
                       "ran": rep.n_experiments, "skipped": rep.n_skipped}))
+
+
+def cmd_study_all(args):
+    """scripts/submit.sh contract: study 02 (own) -> 01 (kmer count) ->
+    03 (GC), one command, shared workdir (run_genomeassembler_dev.sh:8-9)."""
+    from genomeassembler_dev_tpu.pipeline.experiments import (
+        run_gc_study, run_kmer_count_study, run_own_study)
+
+    segs = _segments(args)
+    grid = None
+    if args.grid:
+        grid = tuple(tuple(int(x) for x in pair.split(":"))
+                     for pair in args.grid.split(","))
+    rep = run_own_study(
+        args.workdir, segs, base=_config(args), grid=grid,
+        total_iters=args.total_iters, verbose=args.verbose,
+        batched=args.batched, seg_batch=args.seg_batch, plots=args.plots,
+    )
+    r2 = run_kmer_count_study(args.workdir, segs.seqs[0], base=_config(args))
+    gc_csv = run_gc_study(args.workdir, segs, _config(args), args.total_iters)
+    print(json.dumps({
+        "own": {"summary": rep.summary_path, "all": rep.all_path,
+                "ran": rep.n_experiments, "skipped": rep.n_skipped},
+        "kmer_count_r_squared": {str(k): v for k, v in r2.items()},
+        "gc_csv": gc_csv,
+    }))
 
 
 def cmd_study_velvet(args):
@@ -198,6 +245,16 @@ def main(argv=None):
                    help="vmapped device stages across segments")
     p.add_argument("--seg-batch", type=int, default=16)
     p.set_defaults(fn=cmd_study_own)
+
+    p = sub.add_parser("study-all",
+                       help="full study chain 02 -> 01 -> 03 "
+                            "(scripts/submit.sh)")
+    _add_common(p)
+    p.add_argument("--grid", default=None,
+                   help="comma list of read_len:dbg_kmer pairs")
+    p.add_argument("--batched", action="store_true")
+    p.add_argument("--seg-batch", type=int, default=16)
+    p.set_defaults(fn=cmd_study_all)
 
     p = sub.add_parser("study-velvet",
                        help="industry-standard study (scripts/00); external "

@@ -48,6 +48,129 @@ def biased_successor(g: DenseDBG, probs8: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(g.out_deg > 0, ((node << 2) | best_char) & (V - 1), -1)
 
 
+def biased_successor_edges(p_idx, s_idx, char, oct_code, edge_valid, V,
+                           probs8) -> jnp.ndarray:
+    """succ_b[node_index] for compacted (sparse / big-k) graphs: the node
+    index reached by the out-edge whose junction octamer has the highest
+    breakage probability; -1 at dead ends. Edge lists carry each (node, char)
+    pair at most once (edges are unique), so the [V, 4] scatters are
+    race-free; argmax ties prefer the smallest char, matching
+    biased_successor's dense argmax."""
+    w = jnp.where(edge_valid, probs8[oct_code], -1.0)
+    rows = jnp.where(edge_valid, p_idx, V)
+    w4 = jnp.full((V, 4), -1.0, jnp.float32).at[rows, char].set(w, mode="drop")
+    s4 = jnp.full((V, 4), -1, jnp.int32).at[rows, char].set(
+        jnp.where(edge_valid, s_idx, -1), mode="drop")
+    best = jnp.argmax(w4, axis=1)
+    has = jnp.take_along_axis(w4, best[:, None], axis=1)[:, 0] >= 0.0
+    succ = jnp.take_along_axis(s4, best[:, None], axis=1)[:, 0]
+    return jnp.where(has, succ, -1)
+
+
+def _greedy_walk(node_char, succ_b, w_start, prefix_chars, wvalid, k: int,
+                 max_len: int):
+    """Greedy continuation walk over node indices: from each start node,
+    follow succ_b until a dead end (-1) or the max_len cap. prefix_chars
+    [W, k-1] seed the buffer; the start node's own char lands at column k-1.
+    Returns (buf, lens, overflow)."""
+    W = w_start.shape[0]
+    buf0 = jnp.full((W, max_len), PAD)
+    buf0 = buf0.at[:, : k - 1].set(
+        jnp.where(wvalid[:, None], prefix_chars, PAD))
+    start = jnp.maximum(w_start, 0)
+
+    def cond(state):
+        t, cur, active, buf, lens = state
+        return active.any() & (t + k - 1 < max_len)
+
+    def body(state):
+        t, cur, active, buf, lens = state
+        ch = node_char[cur]
+        col = k - 1 + t
+        buf = buf.at[:, col].set(jnp.where(active, ch, buf[:, col]))
+        lens = jnp.where(active, col + 1, lens)
+        nxt = succ_b[cur]
+        still = active & (nxt >= 0)
+        cur = jnp.where(still, jnp.maximum(nxt, 0), cur)
+        return t + 1, cur, still, buf, lens
+
+    lens0 = jnp.where(wvalid, k - 1, 0).astype(jnp.int32)
+    t, cur, active, buf, lens = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), start, wvalid, buf0, lens0)
+    )
+    overflow = active  # hit the cap while still extending (cycle/long path)
+    return buf, lens, overflow
+
+
+@partial(jax.jit, static_argnames=("k", "max_len", "max_walks", "node_cap"))
+def biased_contigs_sparse(
+    kmer_codes: jnp.ndarray,
+    kmer_valid: jnp.ndarray,
+    probs8: jnp.ndarray,
+    k: int,
+    max_len: int,
+    max_walks: int,
+    node_cap: int | None = None,
+):
+    """Biased traversal on the sorted-unique (sparse) graph, 8 < k <= 15.
+    Same return contract as biased_contigs_dense plus n_nodes last."""
+    if k - 1 < 8:
+        raise ValueError("biased traversal needs dbg_kmer >= 9 (octamer junctions)")
+    from genomeassembler_dev_tpu.dbg.graph import build_dbg, walk_starts_sparse
+
+    g = build_dbg(kmer_codes.reshape(-1), kmer_valid.reshape(-1), k,
+                  node_cap=node_cap)
+    V = g.nodes.shape[0]
+    km1_mask = jnp.int32((1 << (2 * (k - 1))) - 1)
+    prefix = g.edges >> 2
+    suffix = g.edges & km1_mask
+    p_idx = jnp.minimum(jnp.searchsorted(g.nodes, prefix), V - 1).astype(jnp.int32)
+    s_idx = jnp.minimum(jnp.searchsorted(g.nodes, suffix), V - 1).astype(jnp.int32)
+    succ_b = biased_successor_edges(
+        p_idx, s_idx, (g.edges & 3).astype(jnp.int32),
+        jnp.where(g.edge_valid, g.edges & ((1 << 16) - 1), 0),
+        g.edge_valid, V, probs8.astype(jnp.float32))
+
+    w_start, w_prefix, wvalid, n_walks = walk_starts_sparse(g, max_walks)
+    cols = jnp.arange(k - 1, dtype=jnp.int32)
+    shifts = 2 * (k - 2 - cols)
+    prefix_chars = ((w_prefix[:, None] >> shifts[None, :]) & 3).astype(jnp.uint8)
+    node_char = (g.nodes & 3).astype(jnp.uint8)
+    buf, lens, overflow = _greedy_walk(
+        node_char, succ_b, jnp.where(wvalid, w_start, 0), prefix_chars,
+        wvalid, k, max_len)
+    return buf, lens, wvalid, overflow, n_walks, g.n_nodes
+
+
+@partial(jax.jit, static_argnames=("k", "max_len", "max_walks", "node_cap"))
+def biased_contigs_big_k(
+    codes_hi: jnp.ndarray,
+    codes_lo: jnp.ndarray,
+    kmer_valid: jnp.ndarray,
+    probs8: jnp.ndarray,
+    k: int,
+    max_len: int,
+    max_walks: int,
+    node_cap: int | None = None,
+):
+    """Biased traversal for 16 < k <= 31 (two-word codes; BASELINE config 1
+    runs k=31). The junction octamer is the trailing 16 bits of the edge's
+    low word (k-1 >= 8)."""
+    from genomeassembler_dev_tpu.dbg.big_k import _graph_big_k
+
+    g = _graph_big_k(codes_hi, codes_lo, kmer_valid, k, max_walks, node_cap)
+    V = g["node_char"].shape[0]
+    succ_b = biased_successor_edges(
+        g["p_idx"], g["s_idx"], (g["e_lo"] & 3).astype(jnp.int32),
+        jnp.where(g["edge_valid"], g["e_lo"] & ((1 << 16) - 1),
+                  jnp.uint32(0)).astype(jnp.int32),
+        g["edge_valid"], V, probs8.astype(jnp.float32))
+    buf, lens, overflow = _greedy_walk(
+        g["node_char"], succ_b, jnp.where(g["wvalid"], g["w_start"], 0),
+        g["prefix_chars"], g["wvalid"], k, max_len)
+    return buf, lens, g["wvalid"], overflow, g["n_walks"], g["n_nodes_total"]
+
+
 @partial(jax.jit, static_argnames=("k", "max_len", "max_walks"))
 def biased_contigs_dense(
     kmer_codes: jnp.ndarray,

@@ -89,16 +89,12 @@ def _rank_join(node_hi, node_lo, node_valid, q_hi, q_lo, q_valid):
     return out.at[rows].set(jnp.where(tag_s == 1, rank, -1), mode="drop")
 
 
-@partial(jax.jit, static_argnames=("k", "max_len", "max_walks", "node_cap"))
-def contigs_big_k(codes_hi: jnp.ndarray, codes_lo: jnp.ndarray,
-                  kmer_valid: jnp.ndarray, k: int, max_len: int,
-                  max_walks: int, node_cap: int | None = None):
-    """Fused big-k build + doubling walk for one segment's k-mer pair codes.
-    Same contract as dbg.graph.contigs_sparse: with node_cap set, the unique
-    nodes (compacted to the array front) are sliced to [node_cap] before the
-    joins and the walk — callers check the returned n_nodes <= node_cap and
-    retry larger. At BASELINE config 1 (E=1.6M, 50k real nodes) this cuts
-    the doubling walk from 14.6 s to well under a second."""
+def _graph_big_k(codes_hi: jnp.ndarray, codes_lo: jnp.ndarray,
+                 kmer_valid: jnp.ndarray, k: int, max_walks: int,
+                 node_cap: int | None):
+    """Shared big-k graph build: unique edges, node set, index joins,
+    degrees/branching, chain succ/pred, walk starts and their prefix chars.
+    Used by the standard (doubling) and biased (greedy) traversals."""
     big = jnp.uint32(U32)
     flat_hi = jnp.where(kmer_valid.reshape(-1), codes_hi.reshape(-1), big)
     flat_lo = jnp.where(kmer_valid.reshape(-1), codes_lo.reshape(-1), big)
@@ -183,13 +179,8 @@ def contigs_big_k(codes_hi: jnp.ndarray, codes_lo: jnp.ndarray,
     wsel_c = jnp.minimum(wsel, E - 1)
     w_start = jnp.where(wvalid, s_idx[wsel_c], -1)
 
-    node_char = (node_lo & 3).astype(jnp.uint8)
-    buf, lens, overflow = walk_contigs_doubling(
-        node_char, succ, pred, branch, out_deg,
-        w_start, jnp.zeros(max_walks, jnp.int32), wvalid, k, max_len,
-    )
-    # prefix characters of each walk need the (k-1)-mer pair; the generic
-    # walker only handles int32 prefixes, so write them here instead
+    # prefix characters of each walk from the (k-1)-mer pair; the generic
+    # walkers only handle int32 prefixes, so they are decoded here
     wp_hi = p_hi[wsel_c]
     wp_lo = p_lo[wsel_c]
     cols = jnp.arange(k - 1, dtype=jnp.int32)
@@ -198,8 +189,35 @@ def contigs_big_k(codes_hi: jnp.ndarray, codes_lo: jnp.ndarray,
     from_hi = shift >= 32
     char_hi = (wp_hi[:, None] >> jnp.minimum(shift - 32, 31).clip(0)[None, :]) & 3
     char_lo = (wp_lo[:, None] >> jnp.minimum(shift, 31)[None, :]) & 3
-    chars = jnp.where(from_hi[None, :], char_hi, char_lo).astype(jnp.uint8)
-    buf = buf.at[:, : k - 1].set(
-        jnp.where(wvalid[:, None], chars, buf[:, : k - 1])
+    prefix_chars = jnp.where(from_hi[None, :], char_hi, char_lo).astype(jnp.uint8)
+
+    node_char = (node_lo & 3).astype(jnp.uint8)
+    return dict(
+        node_char=node_char, node_valid=node_valid,
+        p_idx=p_idx, s_idx=s_idx, e_lo=e_lo, edge_valid=edge_valid,
+        out_deg=out_deg, in_deg=in_deg, branch=branch, succ=succ, pred=pred,
+        w_start=w_start, wvalid=wvalid, n_walks=n_walks,
+        prefix_chars=prefix_chars, n_nodes_total=n_nodes_total,
     )
-    return buf, lens, wvalid, overflow, n_walks, n_nodes_total
+
+
+@partial(jax.jit, static_argnames=("k", "max_len", "max_walks", "node_cap"))
+def contigs_big_k(codes_hi: jnp.ndarray, codes_lo: jnp.ndarray,
+                  kmer_valid: jnp.ndarray, k: int, max_len: int,
+                  max_walks: int, node_cap: int | None = None):
+    """Fused big-k build + doubling walk for one segment's k-mer pair codes.
+    Same contract as dbg.graph.contigs_sparse: with node_cap set, the unique
+    nodes (compacted to the array front) are sliced to [node_cap] before the
+    joins and the walk — callers check the returned n_nodes <= node_cap and
+    retry larger. At BASELINE config 1 (E=1.6M, 50k real nodes) this cuts
+    the doubling walk from 14.6 s to well under a second."""
+    g = _graph_big_k(codes_hi, codes_lo, kmer_valid, k, max_walks, node_cap)
+    max_walks = g["w_start"].shape[0]
+    buf, lens, overflow = walk_contigs_doubling(
+        g["node_char"], g["succ"], g["pred"], g["branch"], g["out_deg"],
+        g["w_start"], jnp.zeros(max_walks, jnp.int32), g["wvalid"], k, max_len,
+    )
+    buf = buf.at[:, : k - 1].set(
+        jnp.where(g["wvalid"][:, None], g["prefix_chars"], buf[:, : k - 1])
+    )
+    return buf, lens, g["wvalid"], overflow, g["n_walks"], g["n_nodes_total"]

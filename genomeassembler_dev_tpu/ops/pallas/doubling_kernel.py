@@ -35,26 +35,33 @@ from jax.experimental import pallas as pl
 MAX_KERNEL_M = 1024
 
 
+_SEG_BLOCK = 8  # Mosaic needs the second-to-last block dim divisible by 8
+
+
 def _kernel(uptr_ref, uoff_ref, optr_ref, ooff_ref, *, n_iters, M):
-    uptr = uptr_ref[0]  # [M] int32
-    uoff = uoff_ref[0].astype(jnp.int32)  # [M] (f32 in HBM, int math here)
     iota = jax.lax.broadcasted_iota(jnp.int32, (M, M), 1)
-    for _ in range(n_iters):
-        onehot = (uptr[:, None] == iota).astype(jnp.bfloat16)  # [M, M]
-        vals = jnp.stack(
-            [
-                (uptr >> 8).astype(jnp.bfloat16),
-                (uptr & 255).astype(jnp.bfloat16),
-                (uoff >> 8).astype(jnp.bfloat16),
-                (uoff & 255).astype(jnp.bfloat16),
-            ],
-            axis=-1,
-        )  # [M, 4] 8-bit limbs, exact in bf16
-        g = jnp.dot(onehot, vals, preferred_element_type=jnp.float32)
-        uptr = (g[:, 0] * 256.0 + g[:, 1]).astype(jnp.int32)
-        uoff = uoff + (g[:, 2] * 256.0 + g[:, 3]).astype(jnp.int32)
-    optr_ref[0] = uptr
-    ooff_ref[0] = uoff.astype(jnp.float32)
+    for s in range(_SEG_BLOCK):
+        uptr = uptr_ref[s]  # [M] int32
+        uoff = uoff_ref[s].astype(jnp.int32)  # [M] (f32 in HBM, int here)
+        for _ in range(n_iters):
+            onehot = (uptr[:, None] == iota).astype(jnp.bfloat16)  # [M, M]
+            # limbs assembled in int32 2D then cast: Mosaic only supports
+            # minor-dim insertion (1D -> [M, 1]) for 32-bit types
+            vals_i = jnp.concatenate(
+                [
+                    (uptr >> 8)[:, None],
+                    (uptr & 255)[:, None],
+                    (uoff >> 8)[:, None],
+                    (uoff & 255)[:, None],
+                ],
+                axis=1,
+            )  # [M, 4] 8-bit limbs, exact in bf16
+            g = jnp.dot(onehot, vals_i.astype(jnp.bfloat16),
+                        preferred_element_type=jnp.float32)
+            uptr = (g[:, 0] * 256.0 + g[:, 1]).astype(jnp.int32)
+            uoff = uoff + (g[:, 2] * 256.0 + g[:, 3]).astype(jnp.int32)
+        optr_ref[s] = uptr
+        ooff_ref[s] = uoff.astype(jnp.float32)
 
 
 @partial(jax.jit, static_argnames=("n_iters", "interpret"))
@@ -69,8 +76,10 @@ def doubling_chase(uptr: jnp.ndarray, uoff: jnp.ndarray, n_iters: int,
         raise ValueError(f"M={M} must be a multiple of 128")
     if M > MAX_KERNEL_M:
         raise ValueError(f"M={M} exceeds kernel VMEM bound {MAX_KERNEL_M}")
-    grid = (B,)
-    spec = pl.BlockSpec((1, M), lambda b: (b, 0))
+    if B % _SEG_BLOCK:
+        raise ValueError(f"B={B} must be a multiple of {_SEG_BLOCK}")
+    grid = (B // _SEG_BLOCK,)
+    spec = pl.BlockSpec((_SEG_BLOCK, M), lambda b: (b, 0))
     return pl.pallas_call(
         partial(_kernel, n_iters=n_iters, M=M),
         grid=grid,

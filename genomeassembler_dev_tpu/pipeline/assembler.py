@@ -172,20 +172,47 @@ class Assembler:
     def _biased_contigs(self, read_codes, read_valid) -> list[str]:
         """Probability-guided traversal (dbg/biased.py): greedy continuation
         through branches by junction-octamer probability; the resulting
-        extended assemblies then enter the same merge/score stages."""
-        from genomeassembler_dev_tpu.dbg.assemble import DENSE_MAX_K, dedup_contigs
-        from genomeassembler_dev_tpu.dbg.biased import biased_contigs_dense
+        extended assemblies then enter the same merge/score stages. Dispatch
+        mirrors the standard walk: dense k <= 10, sparse k <= 15, two-word
+        codes to k = 31 (BASELINE config 1 shape)."""
+        from genomeassembler_dev_tpu.dbg.assemble import (
+            DENSE_MAX_K, _walk_cap_ladder, dedup_contigs)
+        from genomeassembler_dev_tpu.dbg.biased import (
+            biased_contigs_big_k, biased_contigs_dense, biased_contigs_sparse)
 
         cfg = self.config
-        if cfg.dbg_kmer > DENSE_MAX_K:
-            raise ValueError("biased traversal requires dbg_kmer <= 10 (dense graph)")
+        probs8 = jnp.asarray(self.table.probs[8], jnp.float32)
         codes = jnp.asarray(np.asarray(read_codes))
-        kc, kv = kmer_window_codes(codes, cfg.dbg_kmer)
-        kv = kv & jnp.asarray(np.asarray(read_valid))[:, None]
-        buf, lens, wvalid, ovf, n_walks = biased_contigs_dense(
-            kc, kv, jnp.asarray(self.table.probs[8], jnp.float32),
-            cfg.dbg_kmer, cfg.contig_cap, 2048,
-        )
+        rvalid = jnp.asarray(np.asarray(read_valid))
+        if cfg.dbg_kmer <= DENSE_MAX_K:
+            kc, kv = kmer_window_codes(codes, cfg.dbg_kmer)
+            kv = kv & rvalid[:, None]
+            out = biased_contigs_dense(
+                kc, kv, probs8, cfg.dbg_kmer, cfg.contig_cap, 2048,
+            ) + (jnp.int32(0),)
+        else:
+            if cfg.dbg_kmer <= 15:
+                kc, kv = kmer_window_codes(codes, cfg.dbg_kmer)
+                kv = kv & rvalid[:, None]
+
+                def run(mw, nc):
+                    return biased_contigs_sparse(
+                        kc, kv, probs8, cfg.dbg_kmer, cfg.contig_cap, mw,
+                        node_cap=nc)
+            else:
+                from genomeassembler_dev_tpu.dbg.big_k import kmer_pair_codes
+
+                hi, lo, kv = kmer_pair_codes(codes, cfg.dbg_kmer)
+                kv = kv & rvalid[:, None]
+                kc = hi  # size proxy for the ladder
+
+                def run(mw, nc):
+                    return biased_contigs_big_k(
+                        hi, lo, kv, probs8, cfg.dbg_kmer, cfg.contig_cap, mw,
+                        node_cap=nc)
+
+            out = _walk_cap_ladder(run, int(kc.size), cfg.contig_cap)
+        buf, lens, wvalid, ovf = out[:4]
         # capped (overflowing) walks are kept at their truncated length
         return dedup_contigs(np.asarray(buf), np.asarray(lens),
                              np.asarray(wvalid), np.asarray(ovf) & False)

@@ -147,9 +147,18 @@ def _ks_jit(mesh):
 def _lev_sharded_jit(mesh):
     from genomeassembler_dev_tpu.ops.edit_distance import batched_levenshtein
 
-    return _shard_over_seg(jax.vmap(
-        lambda pm, pl, g: batched_levenshtein(pm, pl, g, mode="NW")
-    ), mesh, n_in=3)
+    # platform dispatch per shard: on a TPU mesh each shard runs the Myers
+    # bit-vector Pallas kernel (measured 2.7-26x the prefix-min scan —
+    # ops/edit_distance.py:93-95); the scan elsewhere. Targets are exact
+    # seq_len rows, which is all the kernel requires.
+    if all(d.platform == "tpu" for d in mesh.devices.flat):
+        from genomeassembler_dev_tpu.ops.pallas.myers_kernel import (
+            batched_levenshtein_myers)
+
+        fn = lambda pm, pl, g: batched_levenshtein_myers(pm, pl, g, mode="NW")
+    else:
+        fn = lambda pm, pl, g: batched_levenshtein(pm, pl, g, mode="NW")
+    return _shard_over_seg(jax.vmap(fn), mesh, n_in=3)
 
 
 @flaky_backend_retry
@@ -230,29 +239,19 @@ def run_experiments_batched(
             dedup_contigs(bufs[b], lens[b], wvalid[b], ovf[b]) for b in range(B)
         ]
 
-    # ---- stage 3: native merge per segment --------------------------------
-    with timer.stage("Merging shuffled contig orderings (batched)"):
-        solutions = [
-            assemble_solutions(c, cfg.dbg_kmer, cfg.seed, cfg.n_orderings,
-                               backend=cfg.merge_backend)
-            for c in contig_sets
-        ]
-
-    # ---- stage 4: grouped, vmapped scoring --------------------------------
+    # ---- stages 3+4: native merge OVERLAPPED with grouped scoring ---------
+    # the merge is reference hot loop #1 (lib/DeNovoAssembler.cpp:228-266),
+    # run on host CPU threads; the scorer runs on the device. A background
+    # worker merges segment b+1..B while the main thread packs and scores
+    # completed segments — the two resources proceed concurrently instead of
+    # serialising (round-2 verdict: merge was a dead stage between the walk
+    # and the scorer). Outputs are bit-identical to the serial schedule.
     read_codes = np.asarray(rs.codes)
     read_valid = np.asarray(rs.valid)
     tracks = np.asarray(rs.track)
 
-    packed = []
-    for b in range(B):
-        pmat, plens = pack_strings(solutions[b], s_multiple=64, l_multiple=128)
-        uniq, counts = dedup_reads(read_codes[b], read_valid[b])
-        rcds, rcnt, rvld = pad_reads(uniq, counts, cfg.read_chunk)
-        packed.append((pmat, plens, rcds, rcnt, rvld))
-
-    groups: dict[tuple, list[int]] = defaultdict(list)
-    for b, (pmat, _, rcds, _, _) in enumerate(packed):
-        groups[(pmat.shape, rcds.shape)].append(b)
+    solutions: list[list[str] | None] = [None] * B
+    packed: list[tuple | None] = [None] * B
 
     score6 = _score_jit(cfg.kmer, cfg.read_chunk, mesh)
     score_fn = lambda pm, pl, rc, rn, rv: score6(pm, pl, rc, rn, rv, probs_all)
@@ -284,83 +283,112 @@ def run_experiments_batched(
         lev_fn = _lev_sharded_jit(mesh)
 
     results: list[ExperimentResult | None] = [None] * B
-    with timer.stage("Evaluating de novo assembled solutions (batched)"):
-        for shape_key, members in groups.items():
-            # the matcher materialises ~[G, S, P, read_chunk] compare buffers
-            # plus [G, S, 69904] count matrices; be blunt about HBM
-            S_bucket = shape_key[0][0]
-            if S_bucket <= 128:
-                group = min(score_group, 8)
-            elif S_bucket <= 256:
-                group = min(score_group, 4)
-            elif S_bucket <= 512:
-                group = min(score_group, 2)
-            else:
-                group = 1
-            if mesh is not None:
-                # each device carries `group` members; chunks must fill the
-                # seg axis
-                group *= mesh.shape["seg"]
-            for lo in range(0, len(members), group):
-                chunk = members[lo : lo + group]
-                # pad partial groups (repeat first member) to keep one shape
-                chunk = chunk + [chunk[0]] * (group - len(chunk))
-                pm = jnp.asarray(np.stack([packed[b][0] for b in chunk]))
-                pl = jnp.asarray(np.stack([packed[b][1] for b in chunk]))
-                rc = jnp.asarray(np.stack([packed[b][2] for b in chunk]))
-                rn = jnp.asarray(np.stack([packed[b][3] for b in chunk]))
-                rv = jnp.asarray(np.stack([packed[b][4] for b in chunk]))
-                gm = jnp.asarray(np.stack([genome_mat[b] for b in chunk]))
-                tr = jnp.asarray(np.stack([tracks[b] for b in chunk]))
-                bs = score_fn(pm, pl, rc, rn, rv)
-                lev = np.asarray(lev_fn(pm, pl, gm))
-                ks = ks_chunked(bs.path_freq, tr)
-                bp_rand = np.asarray(dot_f32(bs.site_counts, uni_all))
-                total = np.maximum(np.asarray(bs.kmer_breaks), 1).astype(np.float32)
-                bp_rand_nb = np.asarray(
-                    dot_f32(bs.site_counts / jnp.asarray(total)[..., None], uni_all)
-                )
-                bp_rand_nb = np.where(np.asarray(bs.kmer_breaks) > 0, bp_rand_nb, 0.0)
-                plv = np.asarray(pl).astype(np.float32)
-                bp_rand_nl = bp_rand / np.maximum(plv, 1.0)
 
-                for gi, b in enumerate(chunk):
-                    sols = solutions[b]
-                    n_real = len(sols)
-                    order = np.argsort(-np.asarray(bs.bp_score)[gi, :n_real],
-                                       kind="stable")
-                    plens_b = np.asarray(pl)[gi]
-                    max_len = int(plens_b.max()) if n_real else 0
-                    contig_frac = min(100.0, 100.0 * max_len / cfg.seq_len)
-                    ksv = ks[gi]
-                    cols = {
-                        "sequence": [sols[i] for i in order],
-                        "sequence_len": plens_b[order],
-                        "bp_score_true": np.asarray(bs.bp_score)[gi][order],
-                        "bp_score_norm_by_break_freqs_true":
-                            np.asarray(bs.bp_score_norm_by_break_freqs)[gi][order],
-                        "bp_score_norm_by_len_true":
-                            np.asarray(bs.bp_score_norm_by_len)[gi][order],
-                        "kmer_breaks": np.asarray(bs.kmer_breaks)[gi][order],
-                        "lev_dist_vs_true": lev[gi][order],
-                        "stat_test_KS_true": ksv[order],
-                        "contig_frac_len": np.full(n_real, contig_frac),
-                        "bp_score_random": bp_rand[gi][order],
-                        "bp_score_norm_by_break_freqs_random": bp_rand_nb[gi][order],
-                        "bp_score_norm_by_len_random": bp_rand_nl[gi][order],
-                        "stat_test_KS_random": ksv[order],
-                    }
-                    n_reads = int(read_valid[b].sum())
-                    acgt = np.bincount(
-                        genome_mat[b][genome_mat[b] <= 3], minlength=4
-                    )
-                    stats = {
-                        "base_composition": (acgt / L).tolist(),
-                        "coverage": round(n_reads * cfg.read_len / L, 3),
-                        "nr_of_reads": n_reads,
-                        "genome_seq": segments[b],
-                    }
-                    results[b] = ExperimentResult(
-                        columns=cols, stats=stats, timings=dict(timer.times)
-                    )
+    def _group_cap(shape_key) -> int:
+        # the matcher materialises ~[G, S, P, read_chunk] compare buffers
+        # plus [G, S, 69904] count matrices; be blunt about HBM
+        S_bucket = shape_key[0][0]
+        if S_bucket <= 128:
+            group = min(score_group, 8)
+        elif S_bucket <= 256:
+            group = min(score_group, 4)
+        elif S_bucket <= 512:
+            group = min(score_group, 2)
+        else:
+            group = 1
+        if mesh is not None:
+            # each device carries `group` members; chunks fill the seg axis
+            group *= mesh.shape["seg"]
+        return group
+
+    def _score_chunk(chunk: list[int], group: int) -> None:
+        # pad partial groups (repeat first member) to keep one shape
+        chunk = chunk + [chunk[0]] * (group - len(chunk))
+        pm = jnp.asarray(np.stack([packed[b][0] for b in chunk]))
+        pl = jnp.asarray(np.stack([packed[b][1] for b in chunk]))
+        rc = jnp.asarray(np.stack([packed[b][2] for b in chunk]))
+        rn = jnp.asarray(np.stack([packed[b][3] for b in chunk]))
+        rv = jnp.asarray(np.stack([packed[b][4] for b in chunk]))
+        gm = jnp.asarray(np.stack([genome_mat[b] for b in chunk]))
+        tr = jnp.asarray(np.stack([tracks[b] for b in chunk]))
+        bs = score_fn(pm, pl, rc, rn, rv)
+        lev = np.asarray(lev_fn(pm, pl, gm))
+        ks = ks_chunked(bs.path_freq, tr)
+        bp_rand = np.asarray(dot_f32(bs.site_counts, uni_all))
+        total = np.maximum(np.asarray(bs.kmer_breaks), 1).astype(np.float32)
+        bp_rand_nb = np.asarray(
+            dot_f32(bs.site_counts / jnp.asarray(total)[..., None], uni_all)
+        )
+        bp_rand_nb = np.where(np.asarray(bs.kmer_breaks) > 0, bp_rand_nb, 0.0)
+        plv = np.asarray(pl).astype(np.float32)
+        bp_rand_nl = bp_rand / np.maximum(plv, 1.0)
+
+        for gi, b in enumerate(chunk):
+            sols = solutions[b]
+            n_real = len(sols)
+            order = np.argsort(-np.asarray(bs.bp_score)[gi, :n_real],
+                               kind="stable")
+            plens_b = np.asarray(pl)[gi]
+            max_len = int(plens_b.max()) if n_real else 0
+            contig_frac = min(100.0, 100.0 * max_len / cfg.seq_len)
+            ksv = ks[gi]
+            cols = {
+                "sequence": [sols[i] for i in order],
+                "sequence_len": plens_b[order],
+                "bp_score_true": np.asarray(bs.bp_score)[gi][order],
+                "bp_score_norm_by_break_freqs_true":
+                    np.asarray(bs.bp_score_norm_by_break_freqs)[gi][order],
+                "bp_score_norm_by_len_true":
+                    np.asarray(bs.bp_score_norm_by_len)[gi][order],
+                "kmer_breaks": np.asarray(bs.kmer_breaks)[gi][order],
+                "lev_dist_vs_true": lev[gi][order],
+                "stat_test_KS_true": ksv[order],
+                "contig_frac_len": np.full(n_real, contig_frac),
+                "bp_score_random": bp_rand[gi][order],
+                "bp_score_norm_by_break_freqs_random": bp_rand_nb[gi][order],
+                "bp_score_norm_by_len_random": bp_rand_nl[gi][order],
+                "stat_test_KS_random": ksv[order],
+            }
+            n_reads = int(read_valid[b].sum())
+            acgt = np.bincount(
+                genome_mat[b][genome_mat[b] <= 3], minlength=4
+            )
+            stats = {
+                "base_composition": (acgt / L).tolist(),
+                "coverage": round(n_reads * cfg.read_len / L, 3),
+                "nr_of_reads": n_reads,
+                "genome_seq": segments[b],
+            }
+            results[b] = ExperimentResult(
+                columns=cols, stats=stats, timings=dict(timer.times)
+            )
+
+    with timer.stage("Merging + evaluating solutions (overlapped)"):
+        from concurrent.futures import ThreadPoolExecutor
+
+        pending: dict[tuple, list[int]] = defaultdict(list)
+        # one worker: each native merge already fans out across all host
+        # cores (native/gadev.cpp thread pool); the ctypes call releases the
+        # GIL, so merges of later segments run while the main thread packs
+        # and the device scores earlier ones
+        with ThreadPoolExecutor(max_workers=1) as pool:
+            futs = [
+                pool.submit(assemble_solutions, c, cfg.dbg_kmer, cfg.seed,
+                            cfg.n_orderings, backend=cfg.merge_backend)
+                for c in contig_sets
+            ]
+            for b in range(B):
+                solutions[b] = futs[b].result()
+                pmat, plens = pack_strings(solutions[b], s_multiple=64,
+                                           l_multiple=128)
+                uniq, counts = dedup_reads(read_codes[b], read_valid[b])
+                rcds, rcnt, rvld = pad_reads(uniq, counts, cfg.read_chunk)
+                packed[b] = (pmat, plens, rcds, rcnt, rvld)
+                key = (pmat.shape, rcds.shape)
+                pending[key].append(b)
+                if len(pending[key]) >= _group_cap(key):
+                    _score_chunk(pending.pop(key), _group_cap(key))
+            for key in list(pending):
+                _score_chunk(pending.pop(key), _group_cap(key))
+
     return results[:B_out]  # type: ignore[return-value]

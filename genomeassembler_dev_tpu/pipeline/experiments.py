@@ -56,6 +56,7 @@ def run_own_study(
     verbose: bool = False,
     batched: bool = False,
     seg_batch: int = 16,
+    plots: bool = False,
 ) -> StudyReport:
     """The own-dBG study (scripts/02_…:21-53 + aggregation :59-214).
 
@@ -95,6 +96,9 @@ def run_own_study(
                 )
                 for i, res in zip(chunk, results):
                     res_io.save_result(workdir, i, cfg, res)
+                    if plots:
+                        emit_experiment_plots(workdir, i, cfg, res,
+                                              segments.seqs[i - 1], table)
                     n_run += 1
         else:
             asm = Assembler(cfg, table, verbose=verbose)
@@ -103,6 +107,9 @@ def run_own_study(
                 res_io.save_result(workdir, i, cfg, res)
                 if cfg.save_read_files:
                     _save_reads(workdir, i, cfg, asm, segments, table)
+                if plots:
+                    emit_experiment_plots(workdir, i, cfg, res,
+                                          segments.seqs[i - 1], table)
                 n_run += 1
 
     if base.save_read_files:
@@ -151,6 +158,37 @@ def run_own_study(
                 "kmer_breaks", "stat_test_KS_true"],
                all_rows)
     return StudyReport(summary_path, all_path, n_run, n_skip)
+
+
+def emit_experiment_plots(workdir: str, ind: int, cfg: ExperimentConfig,
+                          res, segment: str, table: QueryTable) -> list[str]:
+    """The reference's per-experiment PDF diagnostics, behind a flag
+    (lib/DeNovoAssembler.R:485-563 score boxplots; lib/GenerateReads.R:261-345
+    probability track + breakpoint histogram). Breakpoints are re-simulated
+    from the experiment's seed (deterministic, same draw as the pipeline)."""
+    import jax
+    import jax.numpy as jnp
+
+    from genomeassembler_dev_tpu.core.encoding import encode_dna
+    from genomeassembler_dev_tpu.sim.reads import generate_reads, probability_track
+    from genomeassembler_dev_tpu.utils import plots
+
+    d = res_io.exp_dir(workdir, ind)
+    ps = cfg.param_string()
+    out = []
+    track = np.asarray(probability_track(
+        jnp.asarray(encode_dna(segment)),
+        jnp.asarray(table.probs[cfg.kmer], jnp.float32), cfg.kmer))
+    out.append(plots.plot_probability_track(
+        track, os.path.join(d, f"ProbabilityTrack{ps}.png")))
+    rs = generate_reads(jax.random.key(cfg.seed), encode_dna(segment), table,
+                        cfg.read_len, cfg.coverage_target, cfg.kmer)
+    pos = np.asarray(rs.positions)[np.asarray(rs.valid)]
+    out.append(plots.plot_breakpoint_histogram(
+        pos, cfg.seq_len, os.path.join(d, f"BreakpointHistogram{ps}.png")))
+    out.append(plots.plot_score_vs_levdist(
+        res.columns, os.path.join(d, f"ScoresVsLevDist{ps}.png")))
+    return out
 
 
 def _save_reads(workdir, ind, cfg, asm, segments, table):

@@ -108,10 +108,13 @@ def sample_segments(
 
 
 def synthetic_segment_store(
-    seed: int, seq_len: int, n_segments: int, chrom_len: int | None = None
+    seed: int, seq_len: int, n_segments: int, chrom_len: int | None = None,
+    repeats: bool = False,
 ) -> SegmentStore:
     """Hermetic segment source: one synthetic 'chromosome' per required
-    scale, sampled with the same contract as sample_segments."""
+    scale, sampled with the same contract as sample_segments. With
+    repeats=True each segment gets planted duplications (see plant_repeats) —
+    the study-grade stand-in for real genomic sequence."""
     chrom_len = chrom_len or max(10 * seq_len, seq_len + 1000)
     genome = {"chrS": synthetic_genome(seed, chrom_len)}
     n_sample = 4 * n_segments + 8  # oversample: tail/duplicate picks drop
@@ -121,4 +124,44 @@ def synthetic_segment_store(
             f"only {len(store)} unique segments from chrom_len={chrom_len}; "
             "increase chrom_len"
         )
-    return SegmentStore(names=store.names[:n_segments], seqs=store.seqs[:n_segments])
+    names, seqs = store.names[:n_segments], store.seqs[:n_segments]
+    if repeats:
+        seqs = tuple(
+            plant_repeats(s, np.random.default_rng((seed, i)))
+            for i, s in enumerate(seqs)
+        )
+    return SegmentStore(names=names, seqs=seqs)
+
+
+def plant_repeats(
+    segment: str,
+    rng: np.random.Generator,
+    n_events: int | None = None,
+    motif_len: tuple[int, int] = (20, 80),
+    max_extra_copies: int = 2,
+) -> str:
+    """Plant segmental duplications: copy random substrings of the segment to
+    other positions, like the repeat structure of real genomic sequence.
+
+    Uniform-random segments have no repeats at k >= 13, so on them the dBG is
+    a single path and the assembly study degenerates to one solution per
+    experiment (round-2 study: 5 of 7 grid rows collapsed). The reference's
+    segments are real T2T genome with genuine repeat structure
+    (lib/GenerateReads.R:49-111, README.md:47); each duplication here creates
+    branch nodes at every dbg_kmer up to the motif length — the fixture
+    recipe (tests/golden/make_fixtures.py) promoted to a study-grade
+    generator."""
+    seg = list(segment)
+    L = len(seg)
+    if n_events is None:
+        n_events = max(2, L // 350)
+    for _ in range(n_events):
+        ml = int(rng.integers(motif_len[0], motif_len[1] + 1))
+        if ml >= L:
+            continue
+        src = int(rng.integers(0, L - ml + 1))
+        motif = seg[src : src + ml]
+        for _ in range(int(rng.integers(1, max_extra_copies + 1))):
+            dst = int(rng.integers(0, L - ml + 1))
+            seg[dst : dst + ml] = motif
+    return "".join(seg)

@@ -86,6 +86,102 @@ class TestBiasedTraversal:
         assert bool((np.asarray(ovf) & np.asarray(wv)).any())
 
 
+def greedy_oracle(reads, k, probs, max_len):
+    """String-level reference of the biased traversal: walks start from every
+    (branch node, out-edge) pair and continue through branches along the
+    highest-probability junction octamer (ties -> smallest base)."""
+    from collections import defaultdict
+
+    kmers = sorted({r[i : i + k] for r in reads for i in range(len(r) - k + 1)})
+    out_edges = defaultdict(set)
+    in_deg = defaultdict(int)
+    nodes = set()
+    for km in kmers:
+        p, s = km[:-1], km[1:]
+        out_edges[p].add(km[-1])
+        in_deg[s] += 1
+        nodes.update((p, s))
+
+    def branch(n):
+        od = len(out_edges.get(n, ()))
+        return od > 0 and (in_deg.get(n, 0) != 1 or od != 1)
+
+    def greedy_next(n):
+        cands = out_edges.get(n, ())
+        if not cands:
+            return None
+        return min(cands, key=lambda c: (-probs[kmer_code(n[-7:] + c)], c))
+
+    contigs = set()
+    for n in sorted(nodes):
+        if not branch(n):
+            continue
+        for c in sorted(out_edges[n]):
+            s = n + c
+            while len(s) < max_len:
+                c2 = greedy_next(s[-(k - 1):])
+                if c2 is None:
+                    break
+                s += c2
+            contigs.add(s)
+    return sorted(contigs)
+
+
+class TestBiasedSparseAndBigK:
+    def _reads(self, seed, k):
+        from genomeassembler_dev_tpu.sim.segments import plant_repeats, synthetic_genome
+
+        rng = np.random.default_rng(seed)
+        g = plant_repeats(synthetic_genome(seed, 400), rng,
+                          n_events=3, motif_len=(k + 4, k + 20))
+        return [g[i : i + k + 6] for i in range(0, 400 - (k + 6), 2)]
+
+    def _probs(self, seed):
+        rng = np.random.default_rng(seed + 99)
+        return rng.random(65536).astype(np.float32) + 1e-3
+
+    @pytest.mark.parametrize("seed,k", [(0, 9), (1, 10)])
+    def test_sparse_matches_dense(self, seed, k):
+        from genomeassembler_dev_tpu.dbg.biased import biased_contigs_sparse
+
+        reads = self._reads(seed, k)
+        codes = jnp.asarray(np.stack([encode_dna(r) for r in reads]))
+        kc, kv = kmer_window_codes(codes, k)
+        probs = jnp.asarray(self._probs(seed))
+        a = biased_contigs_dense(kc, kv, probs, k, 500, 256)
+        b = biased_contigs_sparse(kc, kv, probs, k, 500, 256, node_cap=512)
+        got_a = contigs_of(*a[:4])
+        got_b = contigs_of(*b[:4])
+        assert got_a == got_b
+        assert got_a == greedy_oracle(reads, k, np.asarray(probs), 500)
+
+    @pytest.mark.parametrize("seed,k", [(2, 13), (3, 15)])
+    def test_sparse_matches_oracle(self, seed, k):
+        from genomeassembler_dev_tpu.dbg.biased import biased_contigs_sparse
+
+        reads = self._reads(seed, k)
+        codes = jnp.asarray(np.stack([encode_dna(r) for r in reads]))
+        kc, kv = kmer_window_codes(codes, k)
+        probs = jnp.asarray(self._probs(seed))
+        out = biased_contigs_sparse(kc, kv, probs, k, 500, 256, node_cap=1024)
+        assert contigs_of(*out[:4]) == greedy_oracle(
+            reads, k, np.asarray(probs), 500)
+
+    @pytest.mark.parametrize("seed,k", [(4, 17), (5, 21)])
+    def test_big_k_matches_oracle(self, seed, k):
+        from genomeassembler_dev_tpu.dbg.big_k import kmer_pair_codes
+        from genomeassembler_dev_tpu.dbg.biased import biased_contigs_big_k
+
+        reads = self._reads(seed, k)
+        codes = jnp.asarray(np.stack([encode_dna(r) for r in reads]))
+        hi, lo, kv = kmer_pair_codes(codes, k)
+        probs = jnp.asarray(self._probs(seed))
+        out = biased_contigs_big_k(hi, lo, kv, probs, k, 500, 256,
+                                   node_cap=1024)
+        assert contigs_of(*out[:4]) == greedy_oracle(
+            reads, k, np.asarray(probs), 500)
+
+
 class TestBiasedPipeline:
     def test_full_experiment_with_biased_traversal(self):
         from genomeassembler_dev_tpu.core.querytable import load_default_query_table

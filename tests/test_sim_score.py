@@ -48,6 +48,20 @@ class TestSegments:
         assert len(store) == 5
         assert all(len(s) == 300 for s in store.seqs)
 
+    def test_repeat_segments_branch_at_study_k(self):
+        """Repeat-planted segments must produce multi-contig dBGs at the
+        study's largest own-grid k (15) — uniform-random 1 kb sequences have
+        no repeats there and the study degenerates to single solutions."""
+        from genomeassembler_dev_tpu.spec import reference_semantics as spec
+
+        store = sim_segments.synthetic_segment_store(1234, 1000, 4, repeats=True)
+        store2 = sim_segments.synthetic_segment_store(1234, 1000, 4, repeats=True)
+        assert store.seqs == store2.seqs  # deterministic
+        assert all(len(s) == 1000 for s in store.seqs)
+        for s in store.seqs:
+            kmers = [s[i : i + 15] for i in range(len(s) - 14)]
+            assert len(spec.get_contig_set(kmers, 15)) >= 3
+
 
 class TestReadSim:
     def test_shapes_and_bounds(self, table):
