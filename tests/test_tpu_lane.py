@@ -93,6 +93,25 @@ _SCRIPT = textwrap.dedent("""
                                want["bp_score"], rtol=2e-5)
     np.testing.assert_array_equal(np.asarray(bs.kmer_breaks)[:3],
                                   want["kmer_breaks"])
+
+    # 4. biased traversal (sparse, compiled) produces walks for every
+    # branch out-edge and substrings consistent with the k-mer set
+    from genomeassembler_dev_tpu.dbg.biased import biased_contigs_sparse
+    from genomeassembler_dev_tpu.dbg.assemble import dedup_contigs
+    from genomeassembler_dev_tpu.ops.windows import kmer_window_codes
+
+    k13 = 13
+    codes13 = np.stack([encode_dna(r) for r in [g[i:i+20] for i in range(0, 380, 2)]])
+    kc13, kv13 = kmer_window_codes(jnp.asarray(codes13), k13)
+    probs8 = jnp.asarray(table.probs[8], jnp.float32)
+    ob = biased_contigs_sparse(kc13, kv13, probs8, k13, 500, 64, node_cap=512)
+    got_b = dedup_contigs(np.asarray(ob[0]), np.asarray(ob[1]),
+                          np.asarray(ob[2]), np.asarray(ob[3]) & False)
+    kset = {r[i:i+k13] for r in [g[j:j+20] for j in range(0, 380, 2)]
+            for i in range(20 - k13 + 1)}
+    assert got_b and all(
+        all(c[i:i+k13] in kset for i in range(len(c) - k13 + 1))
+        for c in got_b), "biased contigs contain foreign k-mers"
     print("TPU_LANE_OK")
 """ % REPO)
 

@@ -159,13 +159,10 @@ log(f"chase two-level C=2: {timeit(lambda: chase_twolevel(up, uo)):.2f} ms")
 log(f"chase one-level C=2: {timeit(lambda: chase_onelevel(up, uo)):.2f} ms")
 log(f"chase packed  C=1: {timeit(lambda: chase_packed(up, uo)):.2f} ms")
 
-try:
-    from genomeassembler_dev_tpu.ops.pallas.doubling_kernel import doubling_chase
-    pall = jax.jit(lambda p, o: doubling_chase(p, o, n_iters))
-    d = pall(up, uo)
-    assert (np.asarray(a[0]) == np.asarray(d[0])).all() and (np.asarray(a[1]) == np.asarray(d[1])).all(), "pallas != twolevel"
-    log(f"chase pallas VMEM: {timeit(lambda: pall(up, uo)):.2f} ms")
-except Exception as exc:
-    log(f"pallas chase FAILED: {exc!r}")
+# NB: a Pallas VMEM chase kernel was evaluated and DELETED: its first form
+# failed Mosaic lowering ((1, M) blocks; bf16 1D->2D reshape), and the fixed
+# form (8-segment blocks, int32 limb assembly) exceeded a 900 s remote
+# compile budget for a theoretical ~1-2 ms upside over the packed C=1 XLA
+# chase above, which is wired into dbg/dense.py instead.
 
 log("done")
