@@ -15,13 +15,20 @@ import functools
 import time
 
 
-def _is_flaky_buffer_error(e: Exception) -> bool:
+def _is_flaky_backend_error(e: Exception) -> bool:
     msg = str(e)
-    return "INVALID_ARGUMENT" in msg and "buffers but compiled program expected" in msg
+    if "INVALID_ARGUMENT" not in msg:
+        return False
+    # two observed relay failure modes, both on RE-execution of previously
+    # working programs: a stale-executable buffer-count mismatch, and a
+    # generic "TPU backend error (InvalidArgument)" on the output fetch
+    # (seen mid-study after an impossibly-instant cached dispatch)
+    return ("buffers but compiled program expected" in msg
+            or "TPU backend error" in msg)
 
 
 def flaky_backend_retry(fn=None, *, attempts: int = 4, delay: float = 0.2):
-    """Retry `fn` on the relay's buffer-count mismatch error."""
+    """Retry `fn` on the relay's stale-executable errors."""
 
     def deco(f):
         @functools.wraps(f)
@@ -32,8 +39,8 @@ def flaky_backend_retry(fn=None, *, attempts: int = 4, delay: float = 0.2):
             for i in range(attempts):
                 try:
                     return f(*args, **kwargs)
-                except ValueError as e:
-                    if not _is_flaky_buffer_error(e):
+                except Exception as e:
+                    if not _is_flaky_backend_error(e):
                         raise
                     last = e
                     jax.clear_caches()

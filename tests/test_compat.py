@@ -22,6 +22,23 @@ def test_retries_buffer_error():
     assert calls["n"] == 3
 
 
+def test_retries_generic_tpu_backend_error():
+    """The second observed relay flake: a non-ValueError runtime error on
+    the output fetch of a cached program (seen mid-study, round 3)."""
+    calls = {"n": 0}
+
+    @flaky_backend_retry(attempts=3, delay=0.0)
+    def flaky():
+        calls["n"] += 1
+        if calls["n"] < 2:
+            raise RuntimeError(
+                "INVALID_ARGUMENT: TPU backend error (InvalidArgument).")
+        return "ok"
+
+    assert flaky() == "ok"
+    assert calls["n"] == 2
+
+
 def test_other_errors_pass_through():
     @flaky_backend_retry(attempts=3, delay=0.0)
     def boom():
