@@ -72,6 +72,30 @@ def build_dbg_dense(kmer_codes: jnp.ndarray, kmer_valid: jnp.ndarray, k: int) ->
                     branch=branch, succ=succ, pred=pred)
 
 
+def _gather_limbs24_mxu(vals: jnp.ndarray, idx: jnp.ndarray, M: int) -> jnp.ndarray:
+    """out[i] = vals[idx[i]] for int32 vals in [0, 2^24), via a two-level
+    one-hot contraction over three 8-bit bf16 limb channels — every operand
+    is bf16-exact, so the MXU needs a single pass (an f32 values operand
+    would force HIGHEST multi-pass lowering). idx in [0, M), M a power of
+    two with M >= 256 lanes-friendly."""
+    bits = M.bit_length() - 1
+    lo_bits = bits // 2
+    H, L = M >> lo_bits, 1 << lo_bits
+    hi = (idx >> lo_bits).astype(jnp.int32)
+    lo = (idx & (L - 1)).astype(jnp.int32)
+    oh_hi = (hi[:, None] == jnp.arange(H, dtype=jnp.int32)).astype(jnp.bfloat16)
+    limbs = jnp.stack(
+        [(vals >> 16) & 255, (vals >> 8) & 255, vals & 255], axis=-1
+    ).astype(jnp.bfloat16)  # [M, 3]
+    v2 = limbs.reshape(H, L * 3)
+    tmp = jnp.einsum("mh,hd->md", oh_hi, v2,
+                     preferred_element_type=jnp.float32).reshape(M, L, 3)
+    oh_lo = (lo[:, None] == jnp.arange(L, dtype=jnp.int32)).astype(jnp.float32)
+    g = (tmp * oh_lo[..., None]).sum(axis=-2)  # [M, 3] exact f32
+    return (g[:, 0].astype(jnp.int32) << 16) | (g[:, 1].astype(jnp.int32) << 8) \
+        | g[:, 2].astype(jnp.int32)
+
+
 def _sort_compact(mask: jnp.ndarray, size: int):
     """Indices of true entries, compacted by sort (ascending index order).
     Returns (idx [size] int32 clamped, valid [size] bool, n_true)."""
@@ -240,16 +264,19 @@ def contigs_dense(
 
     n_iters = max(1, min(max_len, M).bit_length())
     if M * M <= 2**24:
-        # pack (uptr, uoff) into ONE f32 gather channel: both are < M (a
-        # power of two), so uptr*M + uoff < M^2 <= 2^24 stays f32-exact —
-        # halves the gather traffic (measured 5.6 -> 2.9 ms at M=1024, B=256)
-        fM = float(M)
+        # pack (uptr, uoff) into ONE gather value: both are < M (a power of
+        # two), so uptr*M + uoff < M^2 <= 2^24 — and gather it as three
+        # 8-bit bf16 limbs so the two-level one-hot contraction is a single
+        # exact bf16 MXU pass (an f32 operand forces multi-pass lowering).
+        # Measured 5.6 -> 2.9 ms at M=1024, B=256 for the f32 variant; the
+        # limb variant removes the remaining HIGHEST-precision passes.
+        uoff_i = uoff.astype(jnp.int32)
         for _ in range(n_iters):
-            pk = uptr.astype(jnp.float32) * fM + uoff
-            g = permutation_gather_mxu(pk[:, None], uptr)[:, 0]
-            gp = jnp.floor(g / fM)
-            uoff = uoff + (g - gp * fM)
-            uptr = gp.astype(jnp.int32)
+            pk = uptr * M + uoff_i
+            g = _gather_limbs24_mxu(pk, uptr, M)
+            uoff_i = uoff_i + (g & (M - 1))
+            uptr = g >> (M.bit_length() - 1)
+        uoff = uoff_i
     else:
         for _ in range(n_iters):
             gu = permutation_gather_mxu(
@@ -257,7 +284,7 @@ def contigs_dense(
             )
             uoff = uoff + gu[:, 1]
             uptr = gu[:, 0].astype(jnp.int32)
-    uoff = uoff.astype(jnp.int32)
+        uoff = uoff.astype(jnp.int32)
 
     # ---- walk ids at heads -------------------------------------------------
     start_nonterm = wvalid & ~terminal[jnp.maximum(w_start, 0)]
