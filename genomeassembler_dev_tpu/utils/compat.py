@@ -27,8 +27,11 @@ def _is_flaky_backend_error(e: Exception) -> bool:
             or "TPU backend error" in msg)
 
 
-def flaky_backend_retry(fn=None, *, attempts: int = 4, delay: float = 0.2):
-    """Retry `fn` on the relay's stale-executable errors."""
+def flaky_backend_retry(fn=None, *, attempts: int = 5, delay: float = 0.5):
+    """Retry `fn` on the relay's stale-executable errors. Delays escalate
+    (0.5, 1, 2, 4 s ...): the generic backend-error mode can persist for
+    seconds; if it outlives the retries the process-level resume contract
+    (file-per-experiment artifacts, skip-if-exists) is the recovery path."""
 
     def deco(f):
         @functools.wraps(f)
@@ -44,7 +47,7 @@ def flaky_backend_retry(fn=None, *, attempts: int = 4, delay: float = 0.2):
                         raise
                     last = e
                     jax.clear_caches()
-                    time.sleep(delay * (i + 1))
+                    time.sleep(delay * (2 ** i))
             raise last
 
         return wrapper
