@@ -31,6 +31,8 @@ def _add_common(p):
                    choices=["standard", "biased"],
                    help="biased = probability-guided branch continuation "
                         "(BASELINE config 4)")
+    p.add_argument("--biased-max-solutions", type=int, default=256,
+                   help="keep the longest N biased assemblies as solutions")
     p.add_argument("--segments-fasta", default=None)
     p.add_argument("--synthetic", action="store_true",
                    help="use a seeded synthetic segment store")
@@ -63,6 +65,7 @@ def _config(args, **over):
         kmer=args.kmer, coverage_target=args.coverage, seed=args.seed,
         n_orderings=args.n_orderings,
         traversal=getattr(args, "traversal", "standard"),
+        biased_max_solutions=getattr(args, "biased_max_solutions", 256),
     ).with_(**over)
 
 

@@ -220,6 +220,18 @@ class Assembler:
     def merge(self, contigs: list[str], timer: StageTimer) -> list[str]:
         cfg = self.config
         with timer.stage("Merging shuffled contig orderings"):
+            if cfg.traversal == "biased":
+                # the ordering-ensemble merge is the fragment-JOINING stage
+                # for standard unitigs; biased walks already continue through
+                # branches to dead ends, so each walk IS a maximal candidate
+                # assembly. Merging them is both semantically vacuous (their
+                # ends rarely share exact (k-1) overlaps) and combinatorially
+                # explosive (distinct order-dependent concatenations of
+                # ~50 kb strings OOM'd at 130 GB on BASELINE config 1).
+                # Solution set = the canonically-sorted deduped assemblies,
+                # truncated to the longest biased_max_solutions.
+                sols = sorted(set(contigs), key=lambda s: (-len(s), s))
+                return sols[: cfg.biased_max_solutions]
             return assemble_solutions(
                 contigs, cfg.dbg_kmer, cfg.seed, cfg.n_orderings,
                 backend=cfg.merge_backend,

@@ -31,6 +31,9 @@ class ExperimentConfig:
     read_chunk: int = 512
     max_contig_len: int | None = None  # default: 2 * seq_len
     traversal: str = "standard"  # "biased" = probability-guided (config 4)
+    # biased walks are maximal candidate assemblies, not fragments: the
+    # solution set keeps the longest N (see Assembler.merge)
+    biased_max_solutions: int = 256
 
     # grid used by the own-dBG study (scripts/02_…:28-31)
     OWN_STUDY_GRID = (

@@ -196,3 +196,35 @@ class TestBiasedPipeline:
         res = asm.run_experiment(synthetic_genome(21, 300))
         assert res.n_solutions > 0
         assert (res.columns["sequence_len"] >= 9).all()
+
+    def test_biased_solutions_are_capped_maximal_assemblies(self):
+        """Biased walks are maximal candidate assemblies: the solution set is
+        the deduped, canonically-sorted walks truncated to the longest
+        biased_max_solutions — the ordering-ensemble merge (a fragment
+        joiner) is skipped (at 50 kb it OOM'd combinatorially)."""
+        from genomeassembler_dev_tpu.core.querytable import load_default_query_table
+        from genomeassembler_dev_tpu.pipeline.assembler import Assembler
+        from genomeassembler_dev_tpu.pipeline.config import ExperimentConfig
+        from genomeassembler_dev_tpu.sim.segments import (
+            plant_repeats, synthetic_genome)
+        from genomeassembler_dev_tpu.utils.timers import StageTimer
+
+        cfg = ExperimentConfig(seq_len=400, read_len=12, coverage_target=20.0,
+                               kmer=8, dbg_kmer=9, seed=1234,
+                               traversal="biased", biased_max_solutions=5)
+        asm = Assembler(cfg, load_default_query_table())
+        g = plant_repeats(synthetic_genome(33, 400), np.random.default_rng(33),
+                          n_events=4)
+        import jax
+
+        from genomeassembler_dev_tpu.core.encoding import encode_dna
+        from genomeassembler_dev_tpu.sim.reads import generate_reads
+
+        rs = generate_reads(jax.random.key(cfg.seed), encode_dna(g), asm.table,
+                            cfg.read_len, cfg.coverage_target)
+        timer = StageTimer(False)
+        contigs = asm.contigs(rs.codes, rs.valid, timer)
+        sols = asm.merge(contigs, timer)
+        assert len(sols) <= 5
+        want = sorted(set(contigs), key=lambda s: (-len(s), s))[:5]
+        assert sols == want
