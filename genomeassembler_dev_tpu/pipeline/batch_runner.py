@@ -218,11 +218,21 @@ def run_experiments_batched(
             node_cap = 1 << max(1, cfg.contig_cap + 64 - 1).bit_length()
         walk = _walk_jit(cfg.read_len, cfg.dbg_kmer, cfg.contig_cap,
                          max_walks, use_dedup, dedup_cap, node_cap, mesh)
-        bufs, lens, wvalid, ovf, n_walks, n_nodes, n_u = [
-            np.asarray(x) for x in walk(rs.codes, rs.valid)
+        out = walk(rs.codes, rs.valid)
+        # fetch the small outputs first, then slice the contig buffer to the
+        # REAL walk count and max length before the host copy: the padded
+        # [B, 2048, contig_cap] buffer is hundreds of MB and the tunnel
+        # transfer dominated the stage (measured 20-35 s/batch of which the
+        # on-device walk was ~0.5 s; real walks are ~15-200 rows)
+        lens, wvalid, ovf, n_walks, n_nodes, n_u = [
+            np.asarray(x) for x in out[1:]
         ]
         if (n_walks > max_walks).any():
             raise ValueError("walk capacity exceeded; raise max_walks")
+        w_used = int(min(max_walks, max(1, n_walks.max())))
+        l_used = int(min(out[0].shape[-1], max(1, lens.max())))
+        bufs = np.asarray(out[0][:, :w_used, :l_used])
+        lens, wvalid, ovf = lens[:, :w_used], wvalid[:, :w_used], ovf[:, :w_used]
         if (n_nodes > node_cap).any():
             # dense drops nodes with rank >= cap (corrupt contigs), sparse
             # slices its arrays — either way the outputs are wrong: fail loud
