@@ -264,19 +264,20 @@ def contigs_dense(
 
     n_iters = max(1, min(max_len, M).bit_length())
     if M * M <= 2**24:
-        # pack (uptr, uoff) into ONE gather value: both are < M (a power of
-        # two), so uptr*M + uoff < M^2 <= 2^24 — and gather it as three
-        # 8-bit bf16 limbs so the two-level one-hot contraction is a single
-        # exact bf16 MXU pass (an f32 operand forces multi-pass lowering).
-        # Measured 5.6 -> 2.9 ms at M=1024, B=256 for the f32 variant; the
-        # limb variant removes the remaining HIGHEST-precision passes.
-        uoff_i = uoff.astype(jnp.int32)
+        # pack (uptr, uoff) into ONE f32 gather channel: both are < M (a
+        # power of two), so uptr*M + uoff < M^2 <= 2^24 stays f32-exact —
+        # halves the gather traffic (measured 5.6 -> 2.8 ms at M=1024,
+        # B=256). NB an 8-bit bf16-limb variant (3 channels, single MXU
+        # pass) measured 6.5 ms — the widened [M, L*3] intermediate costs
+        # more than the f32 HIGHEST passes it avoids (prof_chase_ab.log).
+        fM = float(M)
         for _ in range(n_iters):
-            pk = uptr * M + uoff_i
-            g = _gather_limbs24_mxu(pk, uptr, M)
-            uoff_i = uoff_i + (g & (M - 1))
-            uptr = g >> (M.bit_length() - 1)
-        uoff = uoff_i
+            pk = uptr.astype(jnp.float32) * fM + uoff
+            g = permutation_gather_mxu(pk[:, None], uptr)[:, 0]
+            gp = jnp.floor(g / fM)
+            uoff = uoff + (g - gp * fM)
+            uptr = gp.astype(jnp.int32)
+        uoff = uoff.astype(jnp.int32)
     else:
         for _ in range(n_iters):
             gu = permutation_gather_mxu(
