@@ -56,11 +56,21 @@ class ExperimentConfig:
         combinations (the reference would fail obscurely mid-pipeline)."""
         if self.kmer not in (2, 4, 6, 8):
             raise ValueError(f"kmer must be one of 2/4/6/8 (got {self.kmer})")
-        if not 2 <= self.dbg_kmer <= 31:
+        if self.industry_standard:
+            # the velvet path never builds OUR dBG: dbg_kmer is the external
+            # assembler's k and only sets the merge overlap (k-1) on strings,
+            # so the reference's velvet grid k=37 (scripts/00_…:27-30) is
+            # legal here; 62-bit codes constrain only the own-dBG path
+            if not 2 <= self.dbg_kmer <= 64:
+                raise ValueError(
+                    f"dbg_kmer must be in 2..64 on the velvet path "
+                    f"(got {self.dbg_kmer})"
+                )
+        elif not 2 <= self.dbg_kmer <= 31:
             raise ValueError(
                 f"dbg_kmer must be in 2..31 (got {self.dbg_kmer}; 62-bit code limit)"
             )
-        if self.read_len < self.dbg_kmer:
+        if self.read_len < self.dbg_kmer and not self.industry_standard:
             raise ValueError(
                 f"read_len {self.read_len} < dbg_kmer {self.dbg_kmer}: reads "
                 "contain no dBG k-mers"

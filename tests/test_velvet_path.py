@@ -122,6 +122,25 @@ class TestIndustryPath:
             np.asarray(res.columns["path_prob_dist_startpos"], np.int64),
         )
 
+    def test_velvet_grid_k37_supported(self, table):
+        """The reference's velvet grid runs dbg_kmer=37 (scripts/00_…:27-30).
+        The velvet path never builds our dBG — k only sets the string merge
+        overlap — so 37 must validate and merge there, while the own path
+        keeps the 62-bit code limit."""
+        cfg = ExperimentConfig(
+            seq_len=400, read_len=40, coverage_target=10.0, kmer=8,
+            dbg_kmer=37, seed=1234, industry_standard=True,
+            velvet_n_orderings=100,
+        ).validate()
+        g = synthetic_genome(11, 400)
+        contigs = [g[0:200], g[164:400]]  # 36-base (k-1) exact overlap
+        asm = IndustryAssembler(cfg, table)
+        res = asm.run_external(g, contigs)
+        assert max(res.columns["sequence_len"]) == 400  # merged to the truth
+        assert (res.columns["lev_dist_vs_true"] == 0).all()
+        with pytest.raises(ValueError, match="62-bit"):
+            ExperimentConfig(seq_len=400, read_len=40, dbg_kmer=37).validate()
+
     def test_velvet_ordering_config(self, table):
         # default: 20,000 orderings (BreakageScorer.cpp:86); explicit values
         # pass through — including an explicit 10,000, which the old
