@@ -296,16 +296,14 @@ def run_experiments_batched(
 
     def _group_cap(shape_key) -> int:
         # the matcher materialises ~[G, S, P, read_chunk] compare buffers
-        # plus [G, S, 69904] count matrices; be blunt about HBM
-        S_bucket = shape_key[0][0]
-        if S_bucket <= 128:
-            group = min(score_group, 8)
-        elif S_bucket <= 256:
-            group = min(score_group, 4)
-        elif S_bucket <= 512:
-            group = min(score_group, 2)
-        else:
-            group = 1
+        # plus [G, S, 69904] f32 count matrices; budget both against HBM
+        # (measured safe on v5e: 2.4 GB compare + 1.1 GB counts at
+        # G=8 x S=512 x P=2048; ResourceExhausted was seen near 2x that)
+        S_bucket, P_bucket = shape_key[0]
+        cells = S_bucket * P_bucket * cfg.read_chunk
+        group = max(1, min(score_group,
+                           int(2.5e9 // max(cells, 1)),
+                           int(4096 // max(S_bucket, 1))))
         if mesh is not None:
             # each device carries `group` members; chunks fill the seg axis
             group *= mesh.shape["seg"]
