@@ -41,7 +41,6 @@ def _pair_codes_jit(codes, k: int):
     return kmer_pair_codes(codes, k)
 
 
-@flaky_backend_retry
 def _walk_cap_ladder(run, n_kmers: int, max_contig_len: int):
     """Run a contig builder under growing walk/node-capacity ladders.
 

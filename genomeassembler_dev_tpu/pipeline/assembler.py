@@ -34,6 +34,7 @@ from genomeassembler_dev_tpu.ops.windows import kmer_window_codes
 from genomeassembler_dev_tpu.pipeline.config import ExperimentConfig
 from genomeassembler_dev_tpu.score.breakscore import breakscore
 from genomeassembler_dev_tpu.sim.reads import dedup_reads, generate_reads
+from genomeassembler_dev_tpu.utils.compat import flaky_backend_retry
 from genomeassembler_dev_tpu.utils.timers import StageTimer
 from genomeassembler_dev_tpu.ops.mxu import dot_f32
 
@@ -169,6 +170,7 @@ class Assembler:
                 cfg.dbg_kmer, cfg.contig_cap,
             )
 
+    @flaky_backend_retry
     def _biased_contigs(self, read_codes, read_valid) -> list[str]:
         """Probability-guided traversal (dbg/biased.py): greedy continuation
         through branches by junction-octamer probability; the resulting
@@ -187,9 +189,23 @@ class Assembler:
         if cfg.dbg_kmer <= DENSE_MAX_K:
             kc, kv = kmer_window_codes(codes, cfg.dbg_kmer)
             kv = kv & rvalid[:, None]
-            out = biased_contigs_dense(
-                kc, kv, probs8, cfg.dbg_kmer, cfg.contig_cap, 2048,
-            ) + (jnp.int32(0),)
+            # walk-capacity ladder, mirroring the sparse/big-k paths: out[4]
+            # is the TRUE walk count regardless of capacity, so graphs with
+            # more branch out-edges than the current cap retry larger instead
+            # of silently dropping walks
+            mw = 2048
+            while True:
+                out = biased_contigs_dense(
+                    kc, kv, probs8, cfg.dbg_kmer, cfg.contig_cap, mw,
+                )
+                n_walks = int(out[4])
+                if n_walks <= mw:
+                    out = out + (jnp.int32(0),)
+                    break
+                if n_walks > kc.size:
+                    raise ValueError(
+                        f"walk count {n_walks} exceeds k-mer count {kc.size}")
+                mw = 1 << (n_walks - 1).bit_length()
         else:
             if cfg.dbg_kmer <= 15:
                 kc, kv = kmer_window_codes(codes, cfg.dbg_kmer)

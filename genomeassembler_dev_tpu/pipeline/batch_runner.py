@@ -161,7 +161,6 @@ def _lev_sharded_jit(mesh):
     return _shard_over_seg(jax.vmap(fn), mesh, n_in=3)
 
 
-@flaky_backend_retry
 def run_experiments_batched(
     cfg: ExperimentConfig,
     segments: list[str],
@@ -175,6 +174,29 @@ def run_experiments_batched(
     `seg` axis runs every device stage (simulate, dBG+walk, scoring, KS,
     Levenshtein) shard_map'ed over segments — bit-identical outputs, tested
     on the virtual 8-device CPU mesh (tests/test_batch_runner.py)."""
+    if cfg.traversal != "standard":
+        # the batched walk implements the standard traversal only; fall back
+        # to the serial per-segment Assembler so a biased-labeled config
+        # never silently produces standard-traversal results (the serial
+        # path carries its own flaky-backend retry; mesh does not apply)
+        from genomeassembler_dev_tpu.pipeline.assembler import Assembler
+
+        asm = Assembler(cfg, table, verbose=verbose)
+        return [asm.run_experiment(s) for s in segments]
+    return _run_standard_batched(cfg, segments, table, uniform, score_group,
+                                 verbose, mesh)
+
+
+@flaky_backend_retry
+def _run_standard_batched(
+    cfg: ExperimentConfig,
+    segments: list[str],
+    table: QueryTable,
+    uniform: QueryTable | None,
+    score_group: int,
+    verbose: bool,
+    mesh,
+) -> list[ExperimentResult]:
     uniform = uniform or QueryTable.uniform()
     timer = StageTimer(verbose)
     B_out = len(segments)

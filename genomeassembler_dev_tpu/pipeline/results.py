@@ -47,16 +47,39 @@ def _fmt(v) -> str:
     return str(v)
 
 
+def _canonical_names(cols: dict) -> list[str]:
+    """Canonical column order with schema validation.
+
+    Known solution-table columns are written in the canonical order of the
+    reference's joined table (RESULT_COLUMNS; the velvet path's variant adds
+    path_prob_dist_startpos — lib/BreakageScorer.cpp:343-353, consumed at
+    lib/DeNovoAssembler.R:361-371). A result that matches part of a schema
+    but is missing canonical columns signals a drifted or misnamed builder
+    column and fails loud instead of being silently written; results with no
+    schema overlap (e.g. the count-only path's prob/count) keep their own
+    order, with extras appended after the canonical set."""
+    from genomeassembler_dev_tpu.pipeline.assembler import RESULT_COLUMNS
+    from genomeassembler_dev_tpu.pipeline.velvet import VELVET_RESULT_COLUMNS
+
+    schema = (VELVET_RESULT_COLUMNS if "path_prob_dist_startpos" in cols
+              else RESULT_COLUMNS)
+    present = [c for c in schema if c in cols]
+    if not present:
+        return list(cols)  # non-solution table (count-only path)
+    missing = [c for c in schema if c not in cols]
+    if missing:
+        raise ValueError(
+            f"solution table is missing canonical columns {missing}; "
+            f"got {sorted(cols)}")
+    return present + [c for c in cols if c not in schema]
+
+
 def save_result(workdir: str, ind: int, cfg: ExperimentConfig, res: ExperimentResult) -> str:
     d = exp_dir(workdir, ind)
     os.makedirs(d, exist_ok=True)
     path = solutions_path(workdir, ind, cfg)
     cols = res.columns
-    # save the result's own column set/order: the velvet path carries extra
-    # columns (path_prob_dist_startpos — lib/BreakageScorer.cpp:343-353,
-    # consumed at lib/DeNovoAssembler.R:361-371) that a RESULT_COLUMNS filter
-    # would silently drop
-    names = list(cols)
+    names = _canonical_names(cols)
     n = len(cols[names[0]])
     with open(path, "w", newline="") as f:
         w = csv.writer(f)
