@@ -133,24 +133,44 @@ def synthetic_segment_store(
     return SegmentStore(names=names, seqs=seqs)
 
 
+_COMPLEMENT = {"A": "T", "C": "G", "G": "C", "T": "A"}
+
+
+def _revcomp_str(s: list[str]) -> list[str]:
+    return [_COMPLEMENT[b] for b in reversed(s)]
+
+
 def plant_repeats(
     segment: str,
     rng: np.random.Generator,
     n_events: int | None = None,
     motif_len: tuple[int, int] = (20, 80),
     max_extra_copies: int = 2,
+    structure: tuple[str, ...] = ("forward", "tandem", "inverted", "diverged"),
 ) -> str:
-    """Plant segmental duplications: copy random substrings of the segment to
-    other positions, like the repeat structure of real genomic sequence.
+    """Plant segmental duplications with realistic repeat *structure*.
 
     Uniform-random segments have no repeats at k >= 13, so on them the dBG is
     a single path and the assembly study degenerates to one solution per
     experiment (round-2 study: 5 of 7 grid rows collapsed). The reference's
     segments are real T2T genome with genuine repeat structure
-    (lib/GenerateReads.R:49-111, README.md:47); each duplication here creates
-    branch nodes at every dbg_kmer up to the motif length — the fixture
-    recipe (tests/golden/make_fixtures.py) promoted to a study-grade
-    generator."""
+    (lib/GenerateReads.R:49-111, README.md:47), which is not just exact
+    forward-strand copies — per event this generator draws one of:
+
+      * forward  — verbatim copy at a random position: clean branch nodes at
+                   every dbg_kmer up to the motif length;
+      * tandem   — 2-4 adjacent copies overwriting the run after the source:
+                   the motif's k-mers chain back onto themselves, creating a
+                   CYCLE in the dBG (exercises the standard walker's overflow
+                   path and the biased walker's visit cap);
+      * inverted — reverse-complement copy: branches whose continuation runs
+                   the other strand, as real inverted repeats/palindromes do;
+      * diverged — copy with 1-5% random point substitutions: bubbles
+                   (paths that separate and rejoin) rather than clean forks.
+
+    Event positions/types are drawn from `rng`, so segments stay hermetic and
+    reproducible. Output length always equals the input length (copies
+    overwrite in place, as a fixed-length sampled window would)."""
     seg = list(segment)
     L = len(seg)
     if n_events is None:
@@ -161,7 +181,26 @@ def plant_repeats(
             continue
         src = int(rng.integers(0, L - ml + 1))
         motif = seg[src : src + ml]
+        kind = structure[int(rng.integers(0, len(structure)))]
+        if kind == "tandem":
+            n_copies = int(rng.integers(2, 5))
+            dst = src + ml
+            for _ in range(n_copies):
+                if dst + ml > L:
+                    break
+                seg[dst : dst + ml] = motif
+                dst += ml
+            continue
         for _ in range(int(rng.integers(1, max_extra_copies + 1))):
             dst = int(rng.integers(0, L - ml + 1))
-            seg[dst : dst + ml] = motif
+            copy = list(motif)
+            if kind == "inverted":
+                copy = _revcomp_str(copy)
+            elif kind == "diverged":
+                rate = float(rng.uniform(0.01, 0.05))
+                n_mut = max(1, int(round(rate * ml)))
+                for p in rng.choice(ml, size=n_mut, replace=False):
+                    old = copy[p]
+                    copy[p] = "ACGT".replace(old, "")[int(rng.integers(0, 3))]
+            seg[dst : dst + ml] = copy
     return "".join(seg)

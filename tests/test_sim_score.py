@@ -62,6 +62,95 @@ class TestSegments:
             kmers = [s[i : i + 15] for i in range(len(s) - 14)]
             assert len(spec.get_contig_set(kmers, 15)) >= 3
 
+    def test_plant_repeats_structures(self):
+        """Each repeat class leaves its structural signature: tandem -> an
+        adjacent self-repeat, inverted -> a reverse-complement occurrence,
+        diverged -> near-identical (but non-exact) long substrings. Length is
+        always preserved (fixed sampled-window contract)."""
+        base = sim_segments.synthetic_genome(77, 1000)
+
+        tan = sim_segments.plant_repeats(
+            base, np.random.default_rng(1), structure=("tandem",))
+        assert len(tan) == 1000
+        assert any(
+            tan[i : i + p] == tan[i + p : i + 2 * p]
+            for p in range(20, 81)
+            for i in range(0, 1000 - 2 * p)
+        ), "no adjacent tandem copy found"
+
+        inv = sim_segments.plant_repeats(
+            base, np.random.default_rng(2), structure=("inverted",))
+        assert len(inv) == 1000
+        rc = {"A": "T", "C": "G", "G": "C", "T": "A"}
+        kset = {inv[i : i + 20] for i in range(981)}
+        assert any(
+            "".join(rc[b] for b in reversed(km)) in kset for km in kset
+        ), "no reverse-complement 20-mer occurrence found"
+
+        div = sim_segments.plant_repeats(
+            base, np.random.default_rng(3), structure=("diverged",))
+        assert len(div) == 1000
+        W = 40
+        wins = np.stack([encode_dna(div[i : i + W]) for i in range(961)])
+        d = (wins[:, None, :] != wins[None, :, :]).sum(-1)
+        # same-position / overlapping windows trivially match; require the
+        # pair to be at least a window apart
+        far = np.abs(np.arange(961)[:, None] - np.arange(961)[None, :]) >= W
+        assert ((d >= 1) & (d <= 4) & far).any(), \
+            "no near-identical diverged copy found"
+
+    def test_tandem_cycle_handled_by_both_walkers(self):
+        """A tandem repeat whose motif exceeds dbg_kmer creates a CYCLE in
+        the dBG (the motif's k-mers chain back through the junction). The
+        standard walker must terminate (walks stop at branch nodes on the
+        cycle; any cap overshoot surfaces via the overflow flag / ladder,
+        never a hang) and agree with the executable spec; the biased walker
+        must cap the looping walk and flag overflow instead of hanging."""
+        from genomeassembler_dev_tpu.dbg.assemble import contigs_from_read_codes
+        from genomeassembler_dev_tpu.dbg.biased import biased_contigs_dense
+        from genomeassembler_dev_tpu.ops.windows import kmer_window_codes
+
+        k, rl = 9, 12
+        seg = sim_segments.plant_repeats(
+            sim_segments.synthetic_genome(5, 500),
+            np.random.default_rng(5), n_events=3, motif_len=(24, 40),
+            structure=("tandem",))
+        assert len(seg) == 500
+        reads = [seg[i : i + rl] for i in range(len(seg) - rl + 1)]
+        kmers = {r[i : i + k] for r in reads for i in range(rl - k + 1)}
+
+        # the graph really is cyclic: some node reaches itself
+        succ = {km[:-1]: set() for km in kmers} | {km[1:]: set() for km in kmers}
+        for km in kmers:
+            succ[km[:-1]].add(km[1:])
+
+        def reaches_self(start):
+            seen, stack = set(), list(succ[start])
+            while stack:
+                n = stack.pop()
+                if n == start:
+                    return True
+                if n in seen:
+                    continue
+                seen.add(n)
+                stack.extend(succ[n])
+            return False
+
+        assert any(reaches_self(n) for n in succ), "tandem graph not cyclic"
+
+        codes = np.stack([encode_dna(r) for r in reads])
+        valid = np.ones(len(reads), bool)
+        got = contigs_from_read_codes(codes, valid, k, 2 * len(seg))
+        want = spec.get_contig_set(sorted(kmers), k)
+        assert got == want
+
+        kc, kv = kmer_window_codes(jnp.asarray(codes), k)
+        probs = jnp.ones(4 ** 8, jnp.float32)
+        buf, lens, wv, ovf, nw = biased_contigs_dense(
+            kc, kv, probs, k, 128, 256)
+        assert int(nw) >= 1  # terminated with walks; cap loops flagged
+        assert not bool((np.asarray(lens) > 128).any())
+
 
 class TestReadSim:
     def test_shapes_and_bounds(self, table):
