@@ -174,8 +174,8 @@ def cmd_study_velvet(args):
         grid = tuple(tuple(int(x) for x in p.split(":")) for p in args.grid.split(","))
     rep = run_velvet_study(args.workdir, segs, source, base=base, grid=grid,
                            total_iters=args.total_iters, verbose=args.verbose)
-    print(json.dumps({"summary": rep.summary_path, "ran": rep.n_experiments,
-                      "skipped": rep.n_skipped}))
+    print(json.dumps({"summary": rep.summary_path, "all": rep.all_path,
+                      "ran": rep.n_experiments, "skipped": rep.n_skipped}))
 
 
 def cmd_study_kmer_count(args):

@@ -141,9 +141,11 @@ def run_own_study(
             for r in range(len(cols["sequence"])):
                 all_rows.append([
                     read_len, dbg_kmer, i,
-                    cols["sequence_len"][r], cols["bp_score_true"][r],
-                    cols["bp_score_random"][r], cols["lev_dist_vs_true"][r],
-                    cols["kmer_breaks"][r], cols["stat_test_KS_true"][r],
+                    cols["sequence_len"][r], cols["kmer_breaks"][r],
+                    cols["bp_score_norm_by_break_freqs_true"][r],
+                    cols["bp_score_norm_by_len_true"][r],
+                    cols["bp_score_true"][r], cols["bp_score_random"][r],
+                    cols["lev_dist_vs_true"][r], cols["stat_test_KS_true"][r],
                 ])
 
     out_dir = os.path.join(workdir, f"IndustryModel_{base.industry_standard}")
@@ -151,11 +153,14 @@ def run_own_study(
     _write_csv(summary_path,
                ["read_len", "dbg_kmer", "Key", "Value", "random_prob"],
                summary_rows)
+    # the reference's results_all column selection (scripts/02_…:174-210)
+    # plus experiment index and the random-score column our stats use
     all_path = os.path.join(out_dir, "results_all.csv")
     _write_csv(all_path,
                ["read_len", "dbg_kmer", "experiment", "sequence_len",
-                "bp_score_true", "bp_score_random", "lev_dist_vs_true",
-                "kmer_breaks", "stat_test_KS_true"],
+                "kmer_breaks", "bp_score_norm_by_break_freqs_true",
+                "bp_score_norm_by_len_true", "bp_score_true",
+                "bp_score_random", "lev_dist_vs_true", "stat_test_KS_true"],
                all_rows)
     return StudyReport(summary_path, all_path, n_run, n_skip)
 
@@ -209,24 +214,80 @@ def _save_reads(workdir, ind, cfg, asm, segments, table):
     )
 
 
-def study_statistics(all_csv_path: str) -> dict:
-    """The own-study's significance tests (scripts/02_…:548-588): per grid
-    row, a one-way ANOVA of bp_score across binned Levenshtein distance and
-    the Spearman correlation of bp_score vs Levenshtein distance."""
+def top_fraction_contrast(values: np.ndarray, frac: float = 0.05,
+                          companions: dict[str, np.ndarray] | None = None) -> dict:
+    """The reference's headline top-5%-vs-rest contrast
+    (scripts/02_Real_vs_rand_prob_own.R:221-260 slice_max(prop=0.05) vs
+    slice_min(prop=0.95), significance via t.test — Welch by R default;
+    velvet variant scripts/00_…:221-260).
+
+    Ranks `values` descending; the top floor(frac*n) rows are "Top 5%", the
+    bottom floor((1-frac)*n) are "Remaining" (the reference's slice_min —
+    NOT the complement, so a sliver in the middle can belong to both/neither
+    exactly as in R). Returns mean/median of both groups plus the Welch
+    t-statistic/p-value, and the same group summaries for each companion
+    column (e.g. Levenshtein distance) split by the SAME ranking."""
+    import scipy.stats as st
+
+    v = np.asarray(values, float)
+    ok = ~np.isnan(v)
+    v = v[ok]
+    n = v.size
+    n_top = int(np.floor(frac * n))
+    n_rest = int(np.floor((1.0 - frac) * n))
+    order = np.argsort(-v, kind="stable")
+    top_idx, rest_idx = order[:n_top], order[::-1][:n_rest]
+    out: dict = {"n": n, "n_top": n_top, "n_rest": n_rest}
+    if n_top < 2 or n_rest < 2:
+        return out | {"t_stat": float("nan"), "t_p": float("nan")}
+    top, rest = v[top_idx], v[rest_idx]
+    t_stat, t_p = st.ttest_ind(top, rest, equal_var=False)
+    out |= {
+        "top_mean": float(top.mean()), "top_median": float(np.median(top)),
+        "rest_mean": float(rest.mean()), "rest_median": float(np.median(rest)),
+        "t_stat": float(t_stat), "t_p": float(t_p),
+    }
+    for name, comp in (companions or {}).items():
+        c = np.asarray(comp, float)[ok]
+        ct, cr = c[top_idx], c[rest_idx]
+        out[name] = {
+            "top_mean": float(np.nanmean(ct)),
+            "top_median": float(np.nanmedian(ct)),
+            "rest_mean": float(np.nanmean(cr)),
+            "rest_median": float(np.nanmedian(cr)),
+        }
+    return out
+
+
+def study_statistics(all_csv_path: str, top_frac: float = 0.05) -> dict:
+    """The study's significance tests: per grid row, a one-way ANOVA of
+    bp_score across binned Levenshtein distance and the Spearman correlation
+    of bp_score vs Levenshtein distance (scripts/02_…:548-588), plus the
+    top-5%-vs-rest contrast of the reference's figure family
+    (scripts/02_…:221-260; velvet variant 00_…:221-260) on each score
+    column present, with Levenshtein summaries of the same split and the
+    random-probability score contrasted under its own ranking."""
     import scipy.stats as st
 
     with open(all_csv_path, newline="") as f:
         rows = list(csv.DictReader(f))
-    by_grid: dict[tuple[int, int], list[tuple[float, float]]] = {}
+    by_grid: dict[tuple[int, int], list[dict]] = {}
     for r in rows:
         key = (int(float(r["read_len"])), int(float(r["dbg_kmer"])))
-        by_grid.setdefault(key, []).append(
-            (float(r["bp_score_true"]), float(r["lev_dist_vs_true"]))
-        )
+        by_grid.setdefault(key, []).append(r)
+    score_cols = ("bp_score_norm_by_len_true", "bp_score_true",
+                  "bp_score_norm_by_break_freqs_true", "bp_score_random")
+
+    def col(rows_, name):
+        if name not in rows_[0]:
+            return None
+        return np.array([float(r[name]) if r[name] != "" else np.nan
+                         for r in rows_], float)
+
     out = {}
     for key, vals in by_grid.items():
-        bp = np.array([v[0] for v in vals])
-        lev = np.array([v[1] for v in vals])
+        bp = col(vals, "bp_score_true")
+        lev = col(vals, "lev_dist_vs_true")
         rho, rho_p = st.spearmanr(bp, lev)
         # bin lev into up to 6 groups (the reference's default bins)
         edges = np.linspace(lev.min(), lev.max() + 1e-9, 7)
@@ -236,11 +297,20 @@ def study_statistics(all_csv_path: str) -> dict:
             f_stat, f_p = st.f_oneway(*groups)
         else:
             f_stat, f_p = float("nan"), float("nan")
-        out[f"{key[0]}:{key[1]}"] = {
+        entry = {
             "spearman_rho": float(rho), "spearman_p": float(rho_p),
             "anova_F": float(f_stat), "anova_p": float(f_p),
             "n": int(bp.size),
         }
+        top5 = {}
+        for sc in score_cols:
+            v = col(vals, sc)
+            if v is None or np.isnan(v).all():
+                continue
+            top5[sc] = top_fraction_contrast(
+                v, top_frac, companions={"lev_dist_vs_true": lev})
+        entry["top_fraction"] = top5
+        out[f"{key[0]}:{key[1]}"] = entry
     return out
 
 
@@ -281,7 +351,11 @@ def run_velvet_study(
             res_io.save_result(workdir, i, cfg, res)
             n_run += 1
 
+    # aggregation (scripts/00_…:55-120): per-EXPERIMENT mean KS rows (the
+    # reference pivots colMeans of each SolutionsTable long, one row per
+    # experiment per Key) and per-solution results_all rows (00_…:175-216)
     summary_rows = []
+    all_rows = []
     for read_len, dbg_kmer in grid:
         cfg = base.with_(read_len=read_len, dbg_kmer=dbg_kmer)
         for i in range(1, total_iters + 1):
@@ -289,18 +363,38 @@ def run_velvet_study(
             if not os.path.exists(path):
                 continue
             cols = res_io.load_result_columns(path)
-            for key in ("bp_score_norm_by_len_true", "bp_score_norm_by_len_random",
-                        "stat_test_KS_true"):
+            for key in ("stat_test_KS_true", "stat_test_KS_random",
+                        "bp_score_norm_by_len_true", "bp_score_norm_by_len_random"):
                 vals = cols.get(key, [])
                 mean = float(np.nanmean(vals)) if len(vals) else float("nan")
-                summary_rows.append([read_len, dbg_kmer, key, mean,
+                summary_rows.append([read_len, dbg_kmer,
+                                     key.rsplit("_", 1)[0], mean,
                                      key.endswith("_random")])
+            n_sol = len(cols.get("sequence_len", []))
+            for r in range(n_sol):
+                all_rows.append([
+                    read_len, dbg_kmer, i,
+                    cols["sequence_len"][r], cols["kmer_breaks"][r],
+                    cols["bp_score_norm_by_break_freqs_true"][r],
+                    cols["bp_score_norm_by_len_true"][r],
+                    cols["bp_score_true"][r],
+                    cols["bp_score_random"][r],
+                    cols["lev_dist_vs_true"][r],
+                    cols["stat_test_KS_true"][r],
+                ])
     out_dir = os.path.join(workdir, "IndustryModel_True")
     summary_path = os.path.join(out_dir, "results_summary.csv")
     _write_csv(summary_path,
                ["read_len", "dbg_kmer", "Key", "Value", "random_prob"],
                summary_rows)
-    return StudyReport(summary_path, summary_path, n_run, n_skip)
+    all_path = os.path.join(out_dir, "results_all.csv")
+    _write_csv(all_path,
+               ["read_len", "dbg_kmer", "experiment", "sequence_len",
+                "kmer_breaks", "bp_score_norm_by_break_freqs_true",
+                "bp_score_norm_by_len_true", "bp_score_true",
+                "bp_score_random", "lev_dist_vs_true", "stat_test_KS_true"],
+               all_rows)
+    return StudyReport(summary_path, all_path, n_run, n_skip)
 
 
 def run_kmer_count_study(

@@ -45,6 +45,23 @@ class TestOwnStudy:
             rows = list(csv.DictReader(f))
         assert {r["random_prob"] for r in rows} == {"True", "False"}
         assert len(rows) == 4  # 2 experiments x (true, random)
+        # results_all carries the reference's column selection
+        # (scripts/02_…:174-210) incl. both normalised scores
+        with open(rep.all_path) as f:
+            arows = list(csv.DictReader(f))
+        assert arows, "results_all is empty"
+        for c in ("sequence_len", "kmer_breaks",
+                  "bp_score_norm_by_break_freqs_true",
+                  "bp_score_norm_by_len_true", "bp_score_true",
+                  "lev_dist_vs_true", "stat_test_KS_true"):
+            assert c in arows[0], c
+        # statistics include the top-5%-vs-rest contrast family
+        from genomeassembler_dev_tpu.pipeline.experiments import study_statistics
+
+        stats = study_statistics(rep.all_path)
+        entry = stats["12:9"]
+        assert "top_fraction" in entry
+        assert "bp_score_norm_by_len_true" in entry["top_fraction"]
 
     def test_gc_study(self, tmp_path, table):
         wd = str(tmp_path)
@@ -94,6 +111,31 @@ class TestCLI:
         assert out["ran"] == 1
 
 
+class TestTopFractionContrast:
+    def test_reference_slice_semantics(self):
+        """Matches R's slice_max(prop=.05)/slice_min(prop=.95) split
+        (scripts/02_…:221-231): floor-sized groups from opposite ends of the
+        ranking, Welch t-test between them."""
+        from genomeassembler_dev_tpu.pipeline.experiments import top_fraction_contrast
+
+        rng = np.random.default_rng(0)
+        v = np.concatenate([rng.normal(0.0, 1.0, 95), rng.normal(10.0, 1.0, 5)])
+        lev = np.where(v > 5, 1.0, 20.0)  # top group has LOW lev distance
+        out = top_fraction_contrast(v, 0.05, companions={"lev": lev})
+        assert out["n_top"] == 5 and out["n_rest"] == 95
+        assert out["top_mean"] > 5 > out["rest_mean"]
+        assert out["t_p"] < 1e-3
+        assert out["lev"]["top_mean"] == 1.0
+        assert out["lev"]["rest_mean"] > 15.0
+
+    def test_nan_and_tiny_groups(self):
+        from genomeassembler_dev_tpu.pipeline.experiments import top_fraction_contrast
+
+        v = np.array([1.0, np.nan, 2.0, 3.0])
+        out = top_fraction_contrast(v, 0.05)
+        assert out["n"] == 3 and np.isnan(out["t_p"])
+
+
 class TestVelvetCLI:
     def test_with_contigs_dir(self, tmp_path, capsys):
         from genomeassembler_dev_tpu.sim.segments import (
@@ -114,6 +156,21 @@ class TestVelvetCLI:
         ])
         out = json.loads(capsys.readouterr().out)
         assert out["ran"] == 2
+        # velvet aggregation parity: per-experiment KS summary rows
+        # (scripts/00_…:55-120) and a real results_all (00_…:175-216)
+        import csv
+
+        with open(out["summary"]) as f:
+            srows = list(csv.DictReader(f))
+        ks = [r for r in srows if r["Key"] == "stat_test_KS"]
+        assert len(ks) == 4  # 2 experiments x (true, random)
+        with open(out["all"]) as f:
+            arows = list(csv.DictReader(f))
+        assert arows and "bp_score_norm_by_break_freqs_true" in arows[0]
+        from genomeassembler_dev_tpu.pipeline.experiments import study_statistics
+
+        stats = study_statistics(out["all"])
+        assert "top_fraction" in stats["12:9"]
 
 
 class TestConfigValidation:
