@@ -189,19 +189,30 @@ def main():
     # device finishes — a host fetch of one output element is the only
     # reliable sync, and dispatch overhead (~1 ms RTT) is amortized over REPS
     REPS = 10
-    times = []
-    for _ in range(3):
+
+    def time_tpu_group() -> float:
         t0 = time.perf_counter()
         for _ in range(REPS):
             out = step(read_codes, read_valid)
         _ = np.asarray(out[0][0])
-        times.append((time.perf_counter() - t0) / REPS)
-    t_tpu = min(times)
-    tpu_rps = n_reads_total / t_tpu
-    log(f"tpu: {t_tpu * 1e3:.2f} ms/batch -> {tpu_rps:,.0f} reads/s")
+        return (time.perf_counter() - t0) / REPS
 
-    # --- single-core C++ baseline ------------------------------------------
+    def time_cpp_pass(reads_by_seg) -> float:
+        t0 = time.perf_counter()
+        for reads in reads_by_seg:
+            native.count_kmers_native(reads, 8)
+            native.contigs_from_reads_native(reads, DBG_K)
+        return time.perf_counter() - t0
+
+    # --- interleaved TPU / single-core-C++ measurement ----------------------
+    # The C++ denominator swings ~1.7x with host load (262-455 ms observed
+    # across rounds); an un-interleaved best-of-N C++ vs min-of-M TPU made
+    # the archived ratio hostage to whichever load regime the C++ reps hit.
+    # Interleave the two sides in pairs sampled under the SAME load and take
+    # the median of per-pair ratios; absolute ms for both sides are reported
+    # alongside so rounds stay comparable on the stable (TPU-ms) axis.
     vs_baseline = float("nan")
+    tpu_times, cpp_times, pair_ratios = [], [], []
     if native.available():
         codes_np = np.asarray(read_codes)
         valid_np = np.asarray(read_valid)
@@ -209,20 +220,33 @@ def main():
             ["".join("ACGT"[c] for c in row) for row, ok in zip(cs, vs) if ok]
             for cs, vs in zip(codes_np, valid_np)
         ]
-        t_cpp = float("inf")  # best-of-5: host load must not inflate our ratio
-        for _ in range(5):
-            t0 = time.perf_counter()
-            for reads in reads_by_seg:
-                native.count_kmers_native(reads, 8)
-                native.contigs_from_reads_native(reads, DBG_K)
-            t_cpp = min(t_cpp, time.perf_counter() - t0)
-        cpp_rps = n_reads_total / t_cpp
-        log(f"cpp 1-core: {t_cpp * 1e3:.1f} ms -> {cpp_rps:,.0f} reads/s")
-        vs_baseline = tpu_rps / cpp_rps
+        for i in range(5):
+            t_c = time_cpp_pass(reads_by_seg)
+            t_t = time_tpu_group()
+            cpp_times.append(t_c)
+            tpu_times.append(t_t)
+            pair_ratios.append(t_c / t_t)
+            log(f"pair {i}: cpp {t_c * 1e3:.1f} ms, tpu {t_t * 1e3:.2f} ms "
+                f"-> ratio {t_c / t_t:.1f}x")
+        vs_baseline = float(np.median(pair_ratios))
     else:
         log("native engine unavailable; vs_baseline = NaN")
+        for _ in range(3):
+            tpu_times.append(time_tpu_group())
 
-    extras = {}
+    t_tpu = min(tpu_times)
+    tpu_rps = n_reads_total / t_tpu
+    log(f"tpu: {t_tpu * 1e3:.2f} ms/batch -> {tpu_rps:,.0f} reads/s")
+    extras = {
+        "tpu_ms_per_batch": round(t_tpu * 1e3, 2),
+    }
+    if cpp_times:
+        extras["cpp_ms_best"] = round(min(cpp_times) * 1e3, 1)
+        extras["cpp_ms_range"] = [round(min(cpp_times) * 1e3, 1),
+                                  round(max(cpp_times) * 1e3, 1)]
+        extras["ratio_pairs"] = [round(r, 1) for r in pair_ratios]
+        log(f"median interleaved ratio: {vs_baseline:.1f}x "
+            f"(pairs {extras['ratio_pairs']})")
     payload = {
         "metric": "reads_per_sec_kmer_count_plus_dbg_build",
         "value": round(tpu_rps, 1),
