@@ -114,72 +114,89 @@ def _merge_kernel(perms, pre16_c, suf16_c, lens_c, h1_c, h2_c,
 
     def body_i(i, st, k, prefix_k):
         """One i-pass: j descends C-1..0 with contigs[i] re-read after every
-        merge (cpp:239-257). i's evolving state is a small scan carry —
-        (alive, len, h1, h2, suf16, tail) [O] vectors — because j's state is
-        fixed within the pass (each j is visited exactly once, and only i
-        mutates). Absorptions are emitted per step and applied to the [O, C]
-        state in one batched update afterwards."""
-        # per-step inputs, transposed so scan slices them: [C(steps), O]
-        j_desc = jnp.arange(C - 1, -1, -1, dtype=jnp.int32)
-        xs = {
-            "j": j_desc,
-            "alive_j": st["alive"].T[j_desc],
-            "len_j": st["len"].T[j_desc],
-            "h1_j": st["h1"].T[j_desc],
-            "h2_j": st["h2"].T[j_desc],
-            "pre_k_j": prefix_k.T[j_desc],
-            "suf16_j": st["suf16"].T[j_desc],
-            "tail_j": st["tail"].T[j_desc],
-            "hk1_j": hpre1_c[head_c, k - 1].T[j_desc],
-            "hk2_j": hpre2_c[head_c, k - 1].T[j_desc],
-        }
+        merge (cpp:239-257). i's state only changes at a MERGE, and between
+        merges it is constant — so the next j the reference's scan would
+        merge is exactly the LARGEST candidate j below the current position
+        under i's current state. The pass therefore jumps merge-to-merge: a
+        while loop whose body computes the candidate mask [O, C] with vector
+        ops and applies one merge per ordering, running 1 + max-merges
+        iterations instead of C scan steps (merges are rare, so this cuts
+        the sequential depth per sweep from C^2 to ~C — measured 8-10x
+        faster at study shapes, tools/prof_merge_xover.py)."""
+        j_iota = jnp.arange(C, dtype=jnp.int32)
+        o_iota = jnp.arange(O, dtype=jnp.int32)
+        # j-state is fixed within the pass (each j merges at most once and
+        # only i mutates); within-pass kills never re-enter because the
+        # position pointer is strictly decreasing
+        alive_snap = st["alive"]
+        len_j, h1_j, h2_j = st["len"], st["h1"], st["h2"]
+        suf16_j, tail_j = st["suf16"], st["tail"]
+        hk1_j = hpre1_c[head_c, k - 1]
+        hk2_j = hpre2_c[head_c, k - 1]
+
+        def sel(A, js):
+            """A[o, js[o]] via one-hot masking (C is tiny; gathers lower
+            near-scalar on TPU)."""
+            return jnp.where(j_iota[None, :] == js[:, None], A, 0).sum(
+                axis=1, dtype=A.dtype)
+
         carry0 = {
-            "alive": st["alive"][:, i],
+            "active": st["alive"][:, i],
+            "pos": jnp.full((O,), C - 1, jnp.int32),
             "len": st["len"][:, i],
             "h1": st["h1"][:, i],
             "h2": st["h2"][:, i],
             "suf16": st["suf16"][:, i],
             "tail": st["tail"][:, i],
+            "alive": st["alive"],
+            "next": st["next"],
+            "trim": st["trim"],
         }
 
-        def step(c, x):
+        def cond(c):
+            return c["active"].any()
+
+        def body(c):
             suffix_i = c["suf16"] & jnp.uint32((1 << (2 * k)) - 1)
-            str_eq = ((c["len"] == x["len_j"]) & (c["h1"] == x["h1_j"])
-                      & (c["h2"] == x["h2_j"]))
-            can = (c["alive"] & x["alive_j"] & (x["j"] != i) & ~str_eq
-                   & (c["len"] >= k) & (x["len_j"] >= k)
-                   & (suffix_i == x["pre_k_j"]))
-            tail_len = (x["len_j"] - k).astype(jnp.int32)
+            str_eq = ((c["len"][:, None] == len_j)
+                      & (c["h1"][:, None] == h1_j)
+                      & (c["h2"][:, None] == h2_j))
+            can = (c["active"][:, None]
+                   & (j_iota[None, :] <= c["pos"][:, None])
+                   & (j_iota[None, :] != i)
+                   & alive_snap & ~str_eq
+                   & (c["len"][:, None] >= k) & (len_j >= k)
+                   & (suffix_i[:, None] == prefix_k))
+            j_sel = jnp.max(jnp.where(can, j_iota[None, :], -1), axis=1)
+            hit = j_sel >= 0
+            js = jnp.where(hit, j_sel, 0)
+            tail_len = (sel(len_j, js) - k).astype(jnp.int32)
             p1 = pow1[tail_len]
             p2 = pow2[tail_len]
-            h1_new = c["h1"] * p1 + (x["h1_j"] - x["hk1_j"] * p1)
-            h2_new = c["h2"] * p2 + (x["h2_j"] - x["hk2_j"] * p2)
-            out = (can, c["tail"])  # emit (absorbed?, link-from slot)
-            c = {
-                "alive": c["alive"],
-                "len": jnp.where(can, c["len"] + tail_len, c["len"]),
-                "h1": jnp.where(can, h1_new, c["h1"]),
-                "h2": jnp.where(can, h2_new, c["h2"]),
-                "suf16": jnp.where(can, x["suf16_j"], c["suf16"]),
-                "tail": jnp.where(can, x["tail_j"], c["tail"]),
+            h1n = c["h1"] * p1 + (sel(h1_j, js) - sel(hk1_j, js) * p1)
+            h2n = c["h2"] * p2 + (sel(h2_j, js) - sel(hk2_j, js) * p2)
+            # chain links: next[o, tail_i] = j, trim[o, j] = k; kill j
+            oh_j = hit[:, None] & (j_iota[None, :] == js[:, None])
+            oh_tail = hit[:, None] & (j_iota[None, :] == c["tail"][:, None])
+            return {
+                "active": hit,
+                "pos": jnp.where(hit, js - 1, c["pos"]),
+                "len": jnp.where(hit, c["len"] + tail_len, c["len"]),
+                "h1": jnp.where(hit, h1n, c["h1"]),
+                "h2": jnp.where(hit, h2n, c["h2"]),
+                "suf16": jnp.where(hit, sel(suf16_j, js), c["suf16"]),
+                "tail": jnp.where(hit, sel(tail_j, js), c["tail"]),
+                "alive": c["alive"] & ~oh_j,
+                "next": jnp.where(oh_tail, js[:, None], c["next"]),
+                "trim": jnp.where(oh_j, jnp.int32(k), c["trim"]),
             }
-            return c, out
 
-        cf, (cans, prev_tails) = jax.lax.scan(step, carry0, xs)  # [C, O]
-        cans_t = cans.T  # [O, C(steps)]
-        o_iota = jnp.arange(O, dtype=jnp.int32)[:, None]
+        cf = jax.lax.while_loop(cond, body, carry0)
 
         st = dict(st)
-        # kill absorbed slots: step s handled j = C-1-s, so flip step->slot
-        absorbed = jnp.flip(cans_t, axis=1)
-        st["alive"] = st["alive"] & ~absorbed
-        # chain links: next[o, prev_tail] = j, trim[o, j] = k (each absorbed
-        # j has a unique prev_tail within the pass — no write conflicts)
-        link_rows = jnp.where(cans_t, prev_tails.T, C)
-        st["next"] = st["next"].at[o_iota, link_rows].set(
-            jnp.broadcast_to(j_desc[None, :], (O, C)), mode="drop")
-        trim_rows = jnp.where(cans_t, j_desc[None, :], C)
-        st["trim"] = st["trim"].at[o_iota, trim_rows].set(k, mode="drop")
+        st["alive"] = cf["alive"]
+        st["next"] = cf["next"]
+        st["trim"] = cf["trim"]
         # column i takes the final carry
         for f in ("len", "h1", "h2", "suf16", "tail"):
             st[f] = st[f].at[:, i].set(cf[f])
