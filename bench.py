@@ -220,6 +220,9 @@ def main():
             ["".join("ACGT"[c] for c in row) for row, ok in zip(cs, vs) if ok]
             for cs, vs in zip(codes_np, valid_np)
         ]
+        time_tpu_group()  # untimed warm group: the first group after compile
+        # runs 2-4x slow on the tunneled backend (r4 run 1: pair-0 ratio 3.6
+        # vs 16-17 for pairs 1-4) and would waste one pair on warmup
         for i in range(5):
             t_c = time_cpp_pass(reads_by_seg)
             t_t = time_tpu_group()
