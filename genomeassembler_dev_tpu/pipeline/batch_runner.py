@@ -161,6 +161,26 @@ def _lev_sharded_jit(mesh):
     return _shard_over_seg(jax.vmap(fn), mesh, n_in=3)
 
 
+def _prewarm_async(pool, seen: set, key, fn, *abstract_args):
+    """Compile `fn` for `abstract_args` on a background thread (once per
+    key). The compile lands in the persistent cache
+    (genomeassembler_dev_tpu/__init__.py), so the later real call loads the
+    executable instead of paying the remote compile — on the tunneled
+    backend a cold stage compile is minutes, and stages otherwise compile
+    strictly serially as the runner first reaches them."""
+    if key in seen:
+        return
+    seen.add(key)
+
+    def compile_():
+        try:
+            fn.lower(*abstract_args).compile()
+        except Exception:  # pragma: no cover — prewarm is best-effort
+            pass
+
+    pool.submit(compile_)
+
+
 def run_experiments_batched(
     cfg: ExperimentConfig,
     segments: list[str],
@@ -212,6 +232,44 @@ def _run_standard_batched(
     genome_mat = np.stack([encode_dna(s) for s in segments])
     n_draws = n_draws_for(cfg.coverage_target, L, cfg.read_len)
 
+    # background stage-compile worker: a cold stage compile is minutes on the
+    # tunneled backend and stages otherwise compile serially as the runner
+    # first reaches them; prewarming the NEXT stage while the current one
+    # compiles/runs overlaps that latency (the compiled executable lands in
+    # the persistent cache, which the real call then loads)
+    from concurrent.futures import ThreadPoolExecutor
+
+    compile_pool = ThreadPoolExecutor(max_workers=2)
+    prewarmed: dict = {}
+
+    def prewarm(key, fn, *abstract_args):
+        if key not in prewarmed:
+            def compile_():
+                try:
+                    fn.lower(*abstract_args).compile()
+                except Exception:  # pragma: no cover — best-effort
+                    pass
+            prewarmed[key] = compile_pool.submit(compile_)
+        return prewarmed[key]
+
+    # walk-stage statics are all known before the sim runs: prewarm it now
+    max_walks = 2048
+    dedup_cap = 1 << (L - cfg.read_len + 1).bit_length()
+    use_dedup = cfg.read_len <= 15 and dedup_cap <= n_draws * 2
+    if cfg.dbg_kmer <= DENSE_MAX_K:
+        # simulated reads are genome substrings, so distinct (k-1)-mer
+        # nodes <= L - k + 2; power-of-two ladder for jit-cache reuse
+        node_cap = 1 << max(6, (L - cfg.dbg_kmer + 1).bit_length())
+        node_cap = min(node_cap, 4 ** (cfg.dbg_kmer - 1))
+    else:
+        node_cap = 1 << max(1, cfg.contig_cap + 64 - 1).bit_length()
+    walk = _walk_jit(cfg.read_len, cfg.dbg_kmer, cfg.contig_cap,
+                     max_walks, use_dedup, dedup_cap, node_cap, mesh)
+    walk_fut = prewarm(
+        "walk", walk,
+        jax.ShapeDtypeStruct((B, n_draws, cfg.read_len), jnp.uint8),
+        jax.ShapeDtypeStruct((B, n_draws), jnp.bool_))
+
     # ---- stage 1: batched read simulation ---------------------------------
     with timer.stage("Generating sequencing reads (batched)"):
         # the reference reseeds identically per experiment (scripts/02_…:37),
@@ -222,24 +280,7 @@ def _run_standard_batched(
 
     # ---- stage 2: batched dBG + contig walk -------------------------------
     with timer.stage("Running DBG de novo genome assembler (batched)"):
-        max_walks = 2048
-
-        # reads of <= 15 bases pack into one int32: dedup them on device
-        # first (distinct reads <= seq_len - read_len + 1 of the ~3.4x
-        # oversampled set), so the graph build sees ~3x fewer windows.
-        # The k-mer presence set — hence every contig — is unchanged.
-        dedup_cap = 1 << (L - cfg.read_len + 1).bit_length()
-        use_dedup = cfg.read_len <= 15 and dedup_cap <= rs.codes.shape[1] * 2
-
-        if cfg.dbg_kmer <= DENSE_MAX_K:
-            # simulated reads are genome substrings, so distinct (k-1)-mer
-            # nodes <= L - k + 2; power-of-two ladder for jit-cache reuse
-            node_cap = 1 << max(6, (L - cfg.dbg_kmer + 1).bit_length())
-            node_cap = min(node_cap, 4 ** (cfg.dbg_kmer - 1))
-        else:
-            node_cap = 1 << max(1, cfg.contig_cap + 64 - 1).bit_length()
-        walk = _walk_jit(cfg.read_len, cfg.dbg_kmer, cfg.contig_cap,
-                         max_walks, use_dedup, dedup_cap, node_cap, mesh)
+        walk_fut.result()  # compiled in the background during stage 1
         out = walk(rs.codes, rs.valid)
         # fetch the small outputs first, then slice the contig buffer to the
         # REAL walk count and max length before the host copy: the padded
@@ -331,7 +372,32 @@ def _run_standard_batched(
             group *= mesh.shape["seg"]
         return group
 
+    F = int(probs_all.shape[0])
+
+    def _prewarm_score(key) -> None:
+        """Background-compile the score/KS programs for a bucket shape the
+        moment its first member appears — the group fills over several
+        native merges, hiding (part of) the compile latency."""
+        G = _group_cap(key)
+        (S, Lp), (Nr, R) = key
+        prewarm(("score", key), score6,
+                jax.ShapeDtypeStruct((G, S, Lp), jnp.uint8),
+                jax.ShapeDtypeStruct((G, S), jnp.int32),
+                jax.ShapeDtypeStruct((G, Nr, R), jnp.uint8),
+                jax.ShapeDtypeStruct((G, Nr), jnp.int32),
+                jax.ShapeDtypeStruct((G, Nr), jnp.bool_),
+                jax.ShapeDtypeStruct((F,), jnp.float32))
+        prewarm(("ks", G), ks_fn,
+                jax.ShapeDtypeStruct((G, 256, F), jnp.float32),
+                jax.ShapeDtypeStruct((G, L), jnp.float32))
+
     def _score_chunk(chunk: list[int], group: int) -> None:
+        # wait for this bucket's background compiles (calling before they
+        # finish would start a duplicate remote compile of the same program)
+        key = (packed[chunk[0]][0].shape, packed[chunk[0]][2].shape)
+        for k in (("score", key), ("ks", group)):
+            if k in prewarmed:
+                prewarmed[k].result()
         # pad partial groups (repeat first member) to keep one shape
         chunk = chunk + [chunk[0]] * (group - len(chunk))
         pm = jnp.asarray(np.stack([packed[b][0] for b in chunk]))
@@ -415,10 +481,12 @@ def _run_standard_batched(
                 rcds, rcnt, rvld = pad_reads(uniq, counts, cfg.read_chunk)
                 packed[b] = (pmat, plens, rcds, rcnt, rvld)
                 key = (pmat.shape, rcds.shape)
+                _prewarm_score(key)
                 pending[key].append(b)
                 if len(pending[key]) >= _group_cap(key):
                     _score_chunk(pending.pop(key), _group_cap(key))
             for key in list(pending):
                 _score_chunk(pending.pop(key), _group_cap(key))
 
+    compile_pool.shutdown(wait=False)
     return results[:B_out]  # type: ignore[return-value]
