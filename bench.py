@@ -100,7 +100,13 @@ def main():
     dev = jax.devices()[0]
     log(f"device: {dev.platform} {dev}")
 
-    B = 256  # segments per batch
+    # B=1024 is the measured throughput knee (tools/prof sweep, r4): the
+    # tunneled backend costs ~2.5 ms of dispatch per call, so per-read cost
+    # keeps falling until device compute dominates (256: 105M, 512: 125M,
+    # 1024: 138M, 2048: 129M reads/s). A B=256 group is timed alongside as
+    # an extra so the ms/batch history (62.8 -> ... -> 19.1 -> r4) stays
+    # comparable across rounds.
+    B = 1024  # segments per batch
     SEQ_LEN, READ_LEN, COV, DBG_K = 1000, 12, 40.0, 9
     MAX_WALKS, MAX_LEN = 256, SEQ_LEN + DBG_K
     N_DRAWS = n_draws_for(COV, SEQ_LEN, READ_LEN)
@@ -292,6 +298,26 @@ def main():
                 f" -> {len(segs) / t_e2e:.2f} experiments/s (warm)")
     except Exception as e:
         log(f"e2e experiments/s extra skipped: {e}")
+
+    # --- extra: B=256 batch timing (cross-round ms/batch history) -----------
+    try:
+        if remaining() < 60:
+            raise TimeoutError("extras budget low; skipping B=256 group")
+        codes256, valid256 = read_codes[:256], read_valid[:256]
+        out = step(codes256, valid256)  # separate compile (new shape)
+        jax.block_until_ready(out)
+        times256 = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            for _ in range(REPS):
+                out = step(codes256, valid256)
+            _ = np.asarray(out[0][0])
+            times256.append((time.perf_counter() - t0) / REPS)
+        extras["tpu_ms_per_batch_b256"] = round(min(times256) * 1e3, 2)
+        log(f"B=256 group: {min(times256) * 1e3:.2f} ms/batch "
+            f"(history axis; headline batch is B={B})")
+    except Exception as e:
+        log(f"B=256 extra skipped: {e}")
 
     # --- extra: edit-distance throughput ------------------------------------
     try:

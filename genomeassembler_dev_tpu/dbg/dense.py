@@ -28,7 +28,8 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from genomeassembler_dev_tpu.ops.mxu import count_kmers_mxu, permutation_gather_mxu
+from genomeassembler_dev_tpu.ops.mxu import (
+    count_kmers_mxu, permutation_gather_mxu, scatter_by_rank_mxu)
 
 PAD = jnp.uint8(255)
 
@@ -248,7 +249,9 @@ def contigs_dense(
         wsel, wvalid, n_walks = _sort_compact(walk_slot_mask, max_walks)
     w_node = wsel >> 2  # compact index of branch prefix node
     w_char = (wsel & 3).astype(jnp.int32)
-    w_prefix_code = nodes_c[w_node]  # dense (k-1)-mer code of the prefix
+    # dense (k-1)-mer code of the prefix (MXU gather: codes < 4^9 < 2^24)
+    w_prefix_code = permutation_gather_mxu(
+        nodes_c.astype(jnp.float32)[:, None], w_node)[:, 0].astype(jnp.int32)
     w_start_dense = ((w_prefix_code << 2) | w_char) & (V - 1)
     w_start = jnp.where(wvalid, searchsorted_mxu(nodes_sorted, w_start_dense), -1)
 
@@ -257,7 +260,9 @@ def contigs_dense(
     # (whose successor is terminal) scatters the walk's terminal character
     # and length, so the downstream (terminal/distance) chain — and half the
     # gathers — is unnecessary (see dbg/doubling.py docstring)
-    head = ~terminal & ((pred_c < 0) | terminal[jnp.maximum(pred_c, 0)])
+    t_at_pred = permutation_gather_mxu(
+        terminal.astype(jnp.float32)[:, None], jnp.maximum(pred_c, 0))[:, 0] > 0
+    head = ~terminal & ((pred_c < 0) | t_at_pred)
     up_ok = ~terminal & ~head & (pred_c >= 0)
     uptr = jnp.where(up_ok, jnp.maximum(pred_c, 0), self_idx)
     uoff = jnp.where(up_ok, 1, 0).astype(jnp.float32)
@@ -288,45 +293,80 @@ def contigs_dense(
         uoff = uoff.astype(jnp.int32)
 
     # ---- walk ids at heads -------------------------------------------------
-    start_nonterm = wvalid & ~terminal[jnp.maximum(w_start, 0)]
-    head_walk = jnp.full(M, -1, jnp.int32).at[
-        jnp.where(start_nonterm, w_start, M)
-    ].set(jnp.arange(max_walks, dtype=jnp.int32), mode="drop")
+    # every gather/scatter below is MXU-formulated: dynamic gathers and
+    # .at[].set scatters run near-scalar on TPU and were the step's single
+    # largest cost (8.8 of 19 ms at the bench shape, studies/prof_r4b.log).
+    # Sum-semantics histograms are exact here because no two VALID walks
+    # collide: a shared start node would have in-degree >= 2, hence be a
+    # branch (terminal) node, hence be excluded from start_nonterm.
+    s_c = jnp.maximum(w_start, 0)
+    # start node's (char, terminal) in one packed f32 channel (< 8)
+    g_s = permutation_gather_mxu(
+        ((nodes_c & 3) + 4 * terminal.astype(jnp.int32)
+         ).astype(jnp.float32)[:, None], s_c)[:, 0].astype(jnp.int32)
+    s_char = (g_s & 3).astype(jnp.uint8)
+    s_term = (g_s >> 2) > 0
+    start_nonterm = wvalid & ~s_term
+    start_term = wvalid & s_term
 
-    # ---- buffers -----------------------------------------------------------
-    # flat (1D) index scatters: TPU 2D scatters pay per-element cost
-    # proportional to the row length (see dbg/doubling.py)
-    if max_walks * max_len >= 2**31:
+    # head_walk[m] = id of the walk whose chain head is node m (-1 if none):
+    # an inverse-permutation scatter as a rank histogram over the M nodes
+    wid_iota = jnp.arange(max_walks, dtype=jnp.int32)
+    hw = scatter_by_rank_mxu(
+        jnp.where(start_nonterm, w_start, M),
+        start_nonterm,
+        (wid_iota & 255, wid_iota >> 8, jnp.ones_like(wid_iota)),
+        M)
+    head_walk = jnp.where(hw[2] > 0, hw[0] | (hw[1] << 8), -1)
+
+    # per-node walk id + successor's (char, terminal), two MXU gathers
+    wid = permutation_gather_mxu(
+        head_walk.astype(jnp.float32)[:, None], uptr)[:, 0].astype(jnp.int32)
+    node_write = ~terminal & (wid >= 0)
+    succ_cc = jnp.maximum(succ_c, 0)  # interior => succ_c >= 0
+    g_sc = permutation_gather_mxu(
+        (char_c.astype(jnp.int32) + 4 * terminal.astype(jnp.int32)
+         ).astype(jnp.float32)[:, None], succ_cc)[:, 0].astype(jnp.int32)
+    last_char = (g_sc & 3).astype(jnp.uint8)
+    is_last = node_write & ((g_sc >> 2) > 0)
+
+    # walk lengths: one-per-walk rank histogram over the walk slots
+    MWP = 1 << (max_walks - 1).bit_length()  # histogram sizes: powers of two
+    lrows = jnp.where(is_last, wid, MWP)
+    lval = k + 1 + uoff  # < 2^16
+    lw = scatter_by_rank_mxu(lrows, is_last, (lval & 255, lval >> 8), MWP)
+    lens0 = (lw[0] | (lw[1] << 8))[:max_walks]
+
+    # ---- buffer: one char histogram over (walk, position) cells ------------
+    # rows: interior nodes, last-of-chain terminal chars, terminal-start
+    # walks. Weights are char+1 (so 0 = untouched = PAD); all targets are
+    # distinct for valid walks (chain offsets are unique; the last write
+    # lands one past the largest interior offset; terminal-start walks have
+    # no interior writers), so the f32 sums are the chars themselves.
+    MLP = 1 << (max_len - 1).bit_length()  # pad positions to a power of two
+    S = MWP * MLP
+    if S >= 2**31:
         raise ValueError(
             f"walk buffer {max_walks} x {max_len} overflows int32 flat indexing")
-    flat = jnp.full(max_walks * max_len, PAD)
-    OOB = jnp.int32(min(max_walks * max_len, 2**31 - 1))
-
-    wid = head_walk[uptr]  # [M]
-    node_write = ~terminal & (wid >= 0)
-    poss = jnp.minimum(k - 1 + uoff, max_len - 1)
-    idx_i = jnp.where(node_write, wid * max_len + poss, OOB)
-    flat = flat.at[idx_i].set(char_c, mode="drop")
-
-    # last chain node scatters terminal char + walk length
-    succ_cc = jnp.maximum(succ_c, 0)  # interior => succ_c >= 0
-    is_last = node_write & terminal[succ_cc]
-    idx_l = jnp.where(
-        is_last, wid * max_len + jnp.minimum(k + uoff, max_len - 1), OOB)
-    flat = flat.at[idx_l].set(char_c[succ_cc], mode="drop")
-    lrows = jnp.where(is_last, wid, max_walks)
-    lens0 = jnp.zeros(max_walks, jnp.int32).at[lrows].set(k + 1 + uoff,
-                                                          mode="drop")
-
-    # terminal-start walks: length k, start node's own char at column k-1
-    s_c = jnp.maximum(w_start, 0)
-    start_term = wvalid & terminal[s_c]
-    idx_t = jnp.where(
-        start_term, jnp.arange(max_walks, dtype=jnp.int32) * max_len + (k - 1),
-        OOB)
-    flat = flat.at[idx_t].set(char_c[s_c], mode="drop")
-
-    buf = flat.reshape(max_walks, max_len)
+    pbits = MLP.bit_length() - 1
+    pos_i = jnp.minimum(k - 1 + uoff, MLP - 1)
+    pos_l = jnp.minimum(k + uoff, max_len - 1)
+    rank_cat = jnp.concatenate([
+        (wid << pbits) | pos_i,
+        (wid << pbits) | pos_l,
+        (wid_iota << pbits) | (k - 1),
+    ])
+    mask_cat = jnp.concatenate([node_write, is_last, start_term])
+    char_cat = jnp.concatenate([
+        char_c.astype(jnp.int32) + 1,
+        last_char.astype(jnp.int32) + 1,
+        s_char.astype(jnp.int32) + 1,
+    ])
+    (cells,) = scatter_by_rank_mxu(rank_cat, mask_cat, (char_cat,), S)
+    bufp = jnp.where(
+        (cells >= 1) & (cells <= 4), cells - 1, jnp.int32(PAD)
+    ).astype(jnp.uint8).reshape(MWP, MLP)
+    buf = bufp[:max_walks, :max_len]
     cols = jnp.arange(k - 1, dtype=jnp.int32)
     shifts = 2 * (k - 2 - cols)
     prefix_chars = ((w_prefix_code[:, None] >> shifts[None, :]) & 3).astype(jnp.uint8)

@@ -188,7 +188,7 @@ def permutation_gather_mxu(vals: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     """out[..., i, :] = vals[..., idx[i], :] via two-level one-hot matmul.
 
     vals: [..., M, C] float32 with integer values |v| < 2^24;
-    idx:  [..., M] int32 in [0, M). Returns [..., M, C] float32 (exact).
+    idx:  [..., Q] int32 in [0, M). Returns [..., Q, C] float32 (exact).
 
     The naive formulation builds an [M, M] one-hot per gather — at the
     doubling walk's M=1024 that is 1M VPU compares per gather, and the
@@ -201,6 +201,7 @@ def permutation_gather_mxu(vals: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     masked f32 sum of already-exact rows.
     """
     *batch, M, C = vals.shape
+    Q = idx.shape[-1]
     bits = M.bit_length() - 1
     if (1 << bits) != M:
         # fallback: single-level one-hot for non-power-of-two M
@@ -223,6 +224,6 @@ def permutation_gather_mxu(vals: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     tmp = jnp.einsum(
         "...mh,...hd->...md", oh_hi, v2,
         preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST,
-    ).reshape(*batch, M, L, C)
+    ).reshape(*batch, Q, L, C)
     oh_lo = (lo[..., None] == jnp.arange(L, dtype=jnp.int32)).astype(jnp.float32)
     return (tmp * oh_lo[..., None]).sum(axis=-2)
