@@ -7,11 +7,13 @@ whole ensemble as ONE jit program, with the ordering dimension [O] as the
 vector axis — every (k, i, j) scan step decides and applies the merge for
 all orderings simultaneously.
 
-Measured (v5e, 20 contigs x 10,000 orderings): 2.8 s warm vs 44 ms for the
-2-thread native engine — the C^2 sequential pair-step latency dominates at
-small contig counts, so `native` stays the default backend; this path is for
-large contig counts or host-free pipelines, and as the determinism
-cross-check (outputs are set-identical to native/spec).
+Measured crossover (v5e, jump-to-next-merge i-pass; studies/merge_xover.log):
+native wins at small contig counts (25x at C=8 x O=1k, 2.4x at C=16 x O=10k)
+because the sequential pair-step latency dominates, but the device ensemble
+scales better in C and wins from C=64 x O=10k (0.95x) and C=128 (0.65x at
+O=1k; native needs minutes at C=128 x O=10k where the device takes 4.3 s).
+merge.engine's "auto" backend dispatches on that crossover; this path is
+also the determinism cross-check (outputs set-identical to native/spec).
 
 Representation per (ordering, slot):
   * alive, length;

@@ -62,3 +62,46 @@ class TestDeviceMerge:
         got = assemble_device(contigs, k, 1234, 100)
         expect = spec_assemble(contigs, k, 1234, 100)
         assert got == expect
+
+
+class TestCrossoverDispatch:
+    """The measured native/device crossover (studies/merge_xover.log) drives
+    merge.engine's auto backend: device from C=64 at the production 10k
+    orderings, C=128 at any ordering count; native below."""
+
+    def test_preferred_backend_table(self):
+        from genomeassembler_dev_tpu.merge.engine import preferred_backend
+
+        # study-typical small contig sets: native wins by 6-25x
+        assert preferred_backend(8, 10000, True, True) == "native"
+        assert preferred_backend(32, 10000, True, True) == "native"
+        # measured crossover points
+        assert preferred_backend(64, 10000, True, True) == "device"
+        assert preferred_backend(64, 1000, True, True) == "native"
+        assert preferred_backend(128, 1000, True, True) == "device"
+        # no accelerator -> never device-by-default
+        assert preferred_backend(128, 10000, True, False) == "native"
+        # no native -> spec for small, device for large on accelerator
+        assert preferred_backend(8, 10000, False, False) == "spec"
+        assert preferred_backend(64, 10000, False, True) == "device"
+
+    def test_crossover_shape_c64(self):
+        # the shape where the device path takes over from native (C=64):
+        # device output must stay set-identical to the spec
+        rng = np.random.default_rng(7)
+        base = rand_dna(rng, 1200)
+        k = 9
+        contigs = []
+        seen = set()
+        for i in range(0, 1152, 18):
+            s = base[i : i + 24]
+            if rng.random() < 0.5:  # half lose the overlap (random tail)
+                s = s[:12] + rand_dna(rng, 12)
+            if s not in seen:
+                seen.add(s)
+                contigs.append(s)
+        contigs = contigs[:64]
+        assert len(contigs) == 64
+        got = assemble_device(contigs, k, 1234, 48)
+        expect = spec_assemble(contigs, k, 1234, 48)
+        assert got == expect
