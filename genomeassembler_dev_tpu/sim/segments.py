@@ -85,7 +85,10 @@ def sample_segments(
     """Sample (chromosome, start) pairs and extract seq_len segments,
     following GenerateReads.R:69-90: chromosome uniform over entries, start
     uniform in [1, len-1] (1-based), sorted by (chrom, start), deduplicated
-    (unique sequences, first name kept)."""
+    (unique sequences, first name kept). Segments containing non-ACGT
+    characters (N runs, IUPAC codes) are dropped: the reference's T2T-CHM13
+    source is gapless so it never sees them, but arbitrary user FASTAs
+    (--segments-fasta) are not."""
     rng = np.random.default_rng(seed)
     chroms = list(genome)
     picks = rng.integers(0, len(chroms), size=n_samples)
@@ -100,6 +103,8 @@ def sample_segments(
     for chrom, start in entries:
         seq = genome[chrom][start - 1 : start - 1 + seq_len]
         if len(seq) < seq_len or seq in seen:
+            continue
+        if any(b not in "ACGT" for b in seq):
             continue
         seen.add(seq)
         names.append(f"{chrom}_{start}")

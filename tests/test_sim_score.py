@@ -43,6 +43,16 @@ class TestSegments:
         store2 = sim_segments.sample_segments(genome, 200, 50, seed=1234)
         assert store.names == store2.names
 
+    def test_sampling_drops_non_acgt_segments(self):
+        # user FASTAs (--segments-fasta) can carry N runs / IUPAC codes;
+        # sampled windows touching them must be dropped, not encoded as 255
+        g = sim_segments.synthetic_genome(3, 2000)
+        genome = {"chrN": g[:900] + "N" * 200 + g[1100:]}
+        store = sim_segments.sample_segments(genome, 150, 400, seed=7)
+        assert len(store) > 0
+        for seq in store.seqs:
+            assert set(seq) <= set("ACGT")
+
     def test_synthetic_store(self):
         store = sim_segments.synthetic_segment_store(7, 300, 5)
         assert len(store) == 5
