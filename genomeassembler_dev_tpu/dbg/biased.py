@@ -72,33 +72,41 @@ def _greedy_walk(node_char, succ_b, w_start, prefix_chars, wvalid, k: int,
     """Greedy continuation walk over node indices: from each start node,
     follow succ_b until a dead end (-1) or the max_len cap. prefix_chars
     [W, k-1] seed the buffer; the start node's own char lands at column k-1.
-    Returns (buf, lens, overflow)."""
+    Returns (buf, lens, overflow).
+
+    succ_b is a STATIC functional graph (the greedy choice depends only on
+    the node, never on walk state — cycles terminate via the cap), so the
+    whole path is materialized by pointer doubling instead of a char-per-
+    iteration while_loop: with jump_L = succ^L, the node at step j+L is
+    jump_L[P[:, j]], so each round doubles the materialized path length.
+    log2(max_len) rounds of [W, L] gathers replace max_len sequential steps
+    (50 kb walks: ~17 rounds vs ~50,000 iterations; measured 23.9 s -> <1 s
+    warm at BASELINE config 1, studies/bigk_warm_r4.json)."""
     W = w_start.shape[0]
-    buf0 = jnp.full((W, max_len), PAD)
-    buf0 = buf0.at[:, : k - 1].set(
-        jnp.where(wvalid[:, None], prefix_chars, PAD))
-    start = jnp.maximum(w_start, 0)
-
-    def cond(state):
-        t, cur, active, buf, lens = state
-        return active.any() & (t + k - 1 < max_len)
-
-    def body(state):
-        t, cur, active, buf, lens = state
-        ch = node_char[cur]
-        col = k - 1 + t
-        buf = buf.at[:, col].set(jnp.where(active, ch, buf[:, col]))
-        lens = jnp.where(active, col + 1, lens)
-        nxt = succ_b[cur]
-        still = active & (nxt >= 0)
-        cur = jnp.where(still, jnp.maximum(nxt, 0), cur)
-        return t + 1, cur, still, buf, lens
-
-    lens0 = jnp.where(wvalid, k - 1, 0).astype(jnp.int32)
-    t, cur, active, buf, lens = jax.lax.while_loop(
-        cond, body, (jnp.int32(0), start, wvalid, buf0, lens0)
-    )
-    overflow = active  # hit the cap while still extending (cycle/long path)
+    V = node_char.shape[0]
+    steps = max_len - (k - 1)  # chars appended after the seeded prefix
+    # sink-augmented jump table: dead ends (-1) -> sink V, succ[sink] = sink
+    succ1 = jnp.concatenate(
+        [jnp.where(succ_b < 0, V, succ_b).astype(jnp.int32),
+         jnp.array([V], jnp.int32)])
+    # P[:, j] = node after j greedy steps (sink-absorbed once dead)
+    P = jnp.where(wvalid, w_start, V).astype(jnp.int32)[:, None]
+    jump = succ1
+    L = 1
+    while L < steps:
+        P = jnp.concatenate([P, jump[P]], axis=1)  # steps L .. 2L-1
+        jump = jump[jump]
+        L *= 2
+    P = P[:, :steps]
+    live = P < V  # a char is written at step j iff the node is real
+    chars = jnp.where(live, node_char[jnp.minimum(P, V - 1)], PAD)
+    buf = jnp.concatenate(
+        [jnp.where(wvalid[:, None], prefix_chars, PAD), chars], axis=1)
+    lens = jnp.where(
+        wvalid, (k - 1) + live.sum(axis=1, dtype=jnp.int32), 0)
+    # overflow = the cap hit while still extending: every step wrote a char
+    # and the last node still has a successor
+    overflow = wvalid & live[:, -1] & (succ1[P[:, -1]] < V)
     return buf, lens, overflow
 
 
@@ -198,31 +206,10 @@ def biased_contigs_dense(
     w_prefix = sel >> 2
     w_start = sel & (V - 1)  # dense node id of the edge suffix
 
-    cols = jnp.arange(max_len, dtype=jnp.int32)
-    shifts = 2 * (k - 2 - cols[: k - 1])
+    cols = jnp.arange(k - 1, dtype=jnp.int32)
+    shifts = 2 * (k - 2 - cols)
     prefix_chars = ((w_prefix[:, None] >> shifts[None, :]) & 3).astype(jnp.uint8)
-    W = max_walks
-    buf0 = jnp.full((W, max_len), PAD)
-    buf0 = buf0.at[:, : k - 1].set(jnp.where(wvalid[:, None], prefix_chars, PAD))
-
-    def cond(state):
-        t, cur, active, buf, lens = state
-        return active.any() & (t + k - 1 < max_len)
-
-    def body(state):
-        t, cur, active, buf, lens = state
-        ch = (cur & 3).astype(jnp.uint8)
-        col = k - 1 + t
-        buf = buf.at[:, col].set(jnp.where(active, ch, buf[:, col]))
-        lens = jnp.where(active, col + 1, lens)
-        nxt = succ_b[cur]
-        still = active & (nxt >= 0)
-        cur = jnp.where(still, jnp.maximum(nxt, 0), cur)
-        return t + 1, cur, still, buf, lens
-
-    lens0 = jnp.where(wvalid, k - 1, 0).astype(jnp.int32)
-    t, cur, active, buf, lens = jax.lax.while_loop(
-        cond, body, (jnp.int32(0), w_start, wvalid, buf0, lens0)
-    )
-    overflow = active  # hit the cap while still extending (cycle or long path)
+    node_char = (jnp.arange(V, dtype=jnp.int32) & 3).astype(jnp.uint8)
+    buf, lens, overflow = _greedy_walk(
+        node_char, succ_b, w_start, prefix_chars, wvalid, k, max_len)
     return buf, lens, wvalid, overflow, n_walks
