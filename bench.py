@@ -60,28 +60,38 @@ def start_watchdog(payload: dict, seconds: float) -> threading.Timer:
     return t
 
 
-def _device_alive(timeout_s: int = 360) -> bool:
+def _device_alive(timeout_s: int | None = None, tries: int | None = None) -> bool:
     """Probe TPU compute in a subprocess (a wedged relay hangs device ops
     indefinitely; a hung bench reports nothing, a CPU fallback reports
-    something)."""
+    something). Observed fresh-client first-op latencies span ~1-15 min —
+    wedges are usually transient — so probe several times before giving up
+    on the chip (a CPU-fallback headline is a last resort, not a retry)."""
     import subprocess
 
+    timeout_s = timeout_s or int(os.environ.get("GA_BENCH_PROBE_S", "300"))
+    tries = tries or int(os.environ.get("GA_BENCH_PROBE_TRIES", "3"))
     code = ("import jax, jax.numpy as jnp;"
             "print(float(jnp.arange(8.0).sum()))")
-    try:
-        r = subprocess.run(["python", "-c", code], timeout=timeout_s,
-                           capture_output=True)
-        return r.returncode == 0
-    except subprocess.TimeoutExpired:
-        return False
+    for i in range(tries):
+        try:
+            r = subprocess.run(["python", "-c", code], timeout=timeout_s,
+                               capture_output=True)
+            if r.returncode == 0:
+                return True
+            log(f"device probe {i}: rc={r.returncode}")
+        except subprocess.TimeoutExpired:
+            log(f"device probe {i}: no response in {timeout_s}s")
+    return False
 
 
 def main():
     import jax
 
+    degraded = None
     if not _device_alive():
         log("WARNING: TPU compute probe hung; falling back to CPU "
             "(results NOT representative of TPU performance)")
+        degraded = "cpu-fallback: TPU probe unresponsive"
         try:
             jax.config.update("jax_platforms", "cpu")
         except RuntimeError:
@@ -106,7 +116,8 @@ def main():
     # 1024: 138M, 2048: 129M reads/s). A B=256 group is timed alongside as
     # an extra so the ms/batch history (62.8 -> ... -> 19.1 -> r4) stays
     # comparable across rounds.
-    B = 1024  # segments per batch
+    B = 1024 if degraded is None else 256  # degraded CPU run: stay small
+    # so the fallback still emits JSON within the driver's budget
     SEQ_LEN, READ_LEN, COV, DBG_K = 1000, 12, 40.0, 9
     MAX_WALKS, MAX_LEN = 256, SEQ_LEN + DBG_K
     N_DRAWS = n_draws_for(COV, SEQ_LEN, READ_LEN)
@@ -249,6 +260,8 @@ def main():
     extras = {
         "tpu_ms_per_batch": round(t_tpu * 1e3, 2),
     }
+    if degraded:
+        extras["degraded"] = degraded
     if cpp_times:
         extras["cpp_ms_best"] = round(min(cpp_times) * 1e3, 1)
         extras["cpp_ms_range"] = [round(min(cpp_times) * 1e3, 1),
@@ -263,7 +276,11 @@ def main():
         "vs_baseline": round(vs_baseline, 3) if vs_baseline == vs_baseline else None,
         "extras": extras,  # extras mutate in place as they complete
     }
-    extras_budget = float(os.environ.get("GA_BENCH_EXTRAS_S", "240"))
+    # 240 s proved too tight when the relay is in a slow-compile regime (the
+    # r4 repo-side run's watchdog fired mid-way through the e2e cold pass,
+    # dropping the cold/warm extras); the headline is already emitted-on-
+    # deadline, so a longer extras window risks nothing but its own time.
+    extras_budget = float(os.environ.get("GA_BENCH_EXTRAS_S", "420"))
     t_extras0 = time.perf_counter()
     remaining = lambda: extras_budget - (time.perf_counter() - t_extras0)
     watchdog = start_watchdog(payload, extras_budget)
