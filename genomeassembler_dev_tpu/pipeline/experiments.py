@@ -267,9 +267,17 @@ def study_statistics(all_csv_path: str, top_frac: float = 0.05) -> dict:
     (scripts/02_…:221-260; velvet variant 00_…:221-260) on each score
     column present, with Levenshtein summaries of the same split and the
     random-probability score contrasted under its own ranking."""
+    import gzip
+
     import scipy.stats as st
 
-    with open(all_csv_path, newline="") as f:
+    # accept a gzip-compressed results_all.csv.gz (large studies commit only
+    # the .gz); a plain path whose .gz sibling is the committed artifact also
+    # resolves
+    if not os.path.exists(all_csv_path) and os.path.exists(all_csv_path + ".gz"):
+        all_csv_path = all_csv_path + ".gz"
+    opener = gzip.open if all_csv_path.endswith(".gz") else open
+    with opener(all_csv_path, "rt", newline="") as f:
         rows = list(csv.DictReader(f))
     by_grid: dict[tuple[int, int], list[dict]] = {}
     for r in rows:
@@ -288,7 +296,14 @@ def study_statistics(all_csv_path: str, top_frac: float = 0.05) -> dict:
     for key, vals in by_grid.items():
         bp = col(vals, "bp_score_true")
         lev = col(vals, "lev_dist_vs_true")
-        rho, rho_p = st.spearmanr(bp, lev)
+        # degenerate rows (constant score or Levenshtein column) have no
+        # defined rank correlation — report nan rather than let spearmanr
+        # emit ConstantInputWarning (same guard shape as the ANOVA branch)
+        if np.unique(bp[~np.isnan(bp)]).size < 2 or \
+                np.unique(lev[~np.isnan(lev)]).size < 2:
+            rho, rho_p = float("nan"), float("nan")
+        else:
+            rho, rho_p = st.spearmanr(bp, lev)
         # bin lev into up to 6 groups (the reference's default bins)
         edges = np.linspace(lev.min(), lev.max() + 1e-9, 7)
         groups = [bp[(lev >= lo) & (lev < hi)] for lo, hi in zip(edges[:-1], edges[1:])]
