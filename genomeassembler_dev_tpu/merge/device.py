@@ -103,6 +103,7 @@ def _merge_kernel(perms, pre16_c, suf16_c, lens_c, h1_c, h2_c,
     # so the head contig id is simply perms[o, s]
     st = {
         "alive": jnp.ones((O, C), bool),
+        "eqflag": jnp.zeros((O,), bool),
         "len": lens_c[perms],
         "pre16": pre16_c[perms],
         "suf16": suf16_c[perms],
@@ -144,6 +145,7 @@ def _merge_kernel(perms, pre16_c, suf16_c, lens_c, h1_c, h2_c,
 
         carry0 = {
             "active": st["alive"][:, i],
+            "eqflag": st["eqflag"],
             "pos": jnp.full((O,), C - 1, jnp.int32),
             "len": st["len"][:, i],
             "h1": st["h1"][:, i],
@@ -163,12 +165,19 @@ def _merge_kernel(perms, pre16_c, suf16_c, lens_c, h1_c, h2_c,
             str_eq = ((c["len"][:, None] == len_j)
                       & (c["h1"][:, None] == h1_j)
                       & (c["h2"][:, None] == h2_j))
-            can = (c["active"][:, None]
-                   & (j_iota[None, :] <= c["pos"][:, None])
-                   & (j_iota[None, :] != i)
-                   & alive_snap & ~str_eq
-                   & (c["len"][:, None] >= k) & (len_j >= k)
-                   & (suffix_i[:, None] == prefix_k))
+            can_but_eq = (c["active"][:, None]
+                          & (j_iota[None, :] <= c["pos"][:, None])
+                          & (j_iota[None, :] != i)
+                          & alive_snap
+                          & (c["len"][:, None] >= k) & (len_j >= k)
+                          & (suffix_i[:, None] == prefix_k))
+            can = can_but_eq & ~str_eq
+            # a (len, h1, h2)-equality that actually GATED a merge decision:
+            # if it was genuine string equality the skip is the reference's
+            # own `contigs[i] != contigs[j]` guard, but if it was a hash
+            # collision the skip is wrong — flag the ordering so the host
+            # re-merges it exactly (assemble_device collision guard)
+            eq_gated = (can_but_eq & str_eq).any(axis=1)
             j_sel = jnp.max(jnp.where(can, j_iota[None, :], -1), axis=1)
             hit = j_sel >= 0
             js = jnp.where(hit, j_sel, 0)
@@ -182,6 +191,7 @@ def _merge_kernel(perms, pre16_c, suf16_c, lens_c, h1_c, h2_c,
             oh_tail = hit[:, None] & (j_iota[None, :] == c["tail"][:, None])
             return {
                 "active": hit,
+                "eqflag": c["eqflag"] | eq_gated,
                 "pos": jnp.where(hit, js - 1, c["pos"]),
                 "len": jnp.where(hit, c["len"] + tail_len, c["len"]),
                 "h1": jnp.where(hit, h1n, c["h1"]),
@@ -197,6 +207,7 @@ def _merge_kernel(perms, pre16_c, suf16_c, lens_c, h1_c, h2_c,
 
         st = dict(st)
         st["alive"] = cf["alive"]
+        st["eqflag"] = cf["eqflag"]
         st["next"] = cf["next"]
         st["trim"] = cf["trim"]
         # column i takes the final carry
@@ -226,7 +237,7 @@ def _merge_kernel(perms, pre16_c, suf16_c, lens_c, h1_c, h2_c,
 
     for k in range(dbg_kmer - 1, 0, -1):
         st = fixpoint(st, k)
-    return st["alive"], st["next"], st["trim"]
+    return st["alive"], st["next"], st["trim"], st["eqflag"]
 
 
 def assemble_device(contigs: list[str], dbg_kmer: int, seed: int,
@@ -242,7 +253,7 @@ def assemble_device(contigs: list[str], dbg_kmer: int, seed: int,
     C = len(contigs)
     perms = shuffle_orderings(C, n_orderings, seed)
     pre16, suf16, lens, h1, h2, hpre1, hpre2, pow1, pow2 = _hash_arrays(contigs)
-    alive, nxt, trim = (
+    alive, nxt, trim, eqflag = (
         np.asarray(x)
         for x in _merge_kernel(
             jnp.asarray(perms), jnp.asarray(pre16), jnp.asarray(suf16),
@@ -254,7 +265,21 @@ def assemble_device(contigs: list[str], dbg_kmer: int, seed: int,
 
     out = set()
     O = perms.shape[0]
+    # collision guard: an ordering where (len, h1, h2)-equality gated a merge
+    # decision is EXACTLY re-merged on the host (spec string semantics) — if
+    # the equality was genuine the result is identical; if it was a double-
+    # 32-bit hash collision the device chains are untrusted for that ordering.
+    # Equal-string gates only fire on duplicate/repeat-heavy ensembles, so
+    # the host fallback is rare and the backend stays exact in all cases.
+    from genomeassembler_dev_tpu.spec.reference_semantics import merge_one_ordering
+
+    n_fallback = 0
     for o in range(O):
+        if eqflag[o]:
+            out.update(merge_one_ordering(
+                [contigs[p] for p in perms[o]], dbg_kmer))
+            n_fallback += 1
+            continue
         next_o, trim_o, perm_o = nxt[o], trim[o], perms[o]
         for s in np.nonzero(alive[o])[0]:
             parts = [contigs[perm_o[s]]]
@@ -263,4 +288,5 @@ def assemble_device(contigs: list[str], dbg_kmer: int, seed: int,
                 parts.append(contigs[perm_o[cur]][trim_o[cur]:])
                 cur = next_o[cur]
             out.add("".join(parts))
+    assemble_device.last_n_fallback = n_fallback
     return sorted(out, key=lambda s: (-len(s), s))
