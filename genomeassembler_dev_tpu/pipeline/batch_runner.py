@@ -123,6 +123,27 @@ def _walk_jit(read_len: int, dbg_kmer: int, contig_cap: int, max_walks: int,
 
 @lru_cache(maxsize=128)
 def _score_jit(break_kmer: int, read_chunk: int, mesh):
+    if mesh is not None and mesh.shape.get("read", 1) > 1:
+        # read-axis model parallelism for the score stage: the site-count
+        # matcher is the read-heavy program (at 50 kb configs ~167k reads
+        # per experiment, lib/GenerateReads.R:302-313), so reads shard over
+        # `read` with a psum of the partial site counts — the production
+        # runner uses the exact collective step the unit lanes verify
+        # (parallel/sharding.py::make_breakscore_step). Output-identical to
+        # the replicated path (tests/test_batch_runner.py).
+        from types import SimpleNamespace
+
+        from genomeassembler_dev_tpu.parallel.sharding import (
+            make_breakscore_step,
+        )
+
+        step = jax.jit(make_breakscore_step(mesh, break_kmer, read_chunk))
+
+        def run(pm, pl, rc, rn, rv, probs):
+            return SimpleNamespace(**step(pm, pl, rc, rn, rv, probs))
+
+        run.lower = step.lower  # keep the prewarm (.lower().compile()) path
+        return run
     vscore = jax.vmap(
         lambda pm, pl, rc, rn, rv, probs: breakscore(
             pm, pl, rc, rn, rv, probs,
@@ -239,7 +260,10 @@ def _run_standard_batched(
     # the persistent cache, which the real call then loads)
     from concurrent.futures import ThreadPoolExecutor
 
-    compile_pool = ThreadPoolExecutor(max_workers=2)
+    # compiles on the tunneled backend are round-trip-latency-bound, not
+    # host-CPU-bound, so a wide pool overlaps many remote compiles/cache
+    # loads; 8 covers every distinct stage program of a study shape
+    compile_pool = ThreadPoolExecutor(max_workers=8)
     prewarmed: dict = {}
 
     def prewarm(key, fn, *abstract_args):
@@ -269,6 +293,73 @@ def _run_standard_batched(
         "walk", walk,
         jax.ShapeDtypeStruct((B, n_draws, cfg.read_len), jnp.uint8),
         jax.ShapeDtypeStruct((B, n_draws), jnp.bool_))
+
+    # ---- eval-stage prewarm helpers (used speculatively NOW and again as
+    # real buckets appear) --------------------------------------------------
+    score6 = _score_jit(cfg.kmer, cfg.read_chunk, mesh)
+    ks_fn = _ks_jit(mesh)
+    F = int(probs_all.shape[0])
+
+    def _group_cap(shape_key) -> int:
+        # the matcher materialises ~[G, S, P, read_chunk] compare buffers
+        # plus [G, S, 69904] f32 count matrices; budget both against HBM
+        # (measured safe on v5e: 2.4 GB compare + 1.1 GB counts at
+        # G=8 x S=512 x P=2048; ResourceExhausted was seen near 2x that)
+        S_bucket, P_bucket = shape_key[0]
+        cells = S_bucket * P_bucket * cfg.read_chunk
+        group = max(1, min(score_group,
+                           int(2.5e9 // max(cells, 1)),
+                           int(4096 // max(S_bucket, 1))))
+        if mesh is not None:
+            # each device carries `group` members; chunks fill the seg axis
+            group *= mesh.shape["seg"]
+        return group
+
+    def _prewarm_score(key) -> None:
+        """Background-compile the score/KS/Levenshtein programs for a bucket
+        shape the moment its first member appears — the group fills over
+        several native merges, hiding (part of) the compile latency."""
+        G = _group_cap(key)
+        (S, Lp), (Nr, R) = key
+        prewarm(("score", key), score6,
+                jax.ShapeDtypeStruct((G, S, Lp), jnp.uint8),
+                jax.ShapeDtypeStruct((G, S), jnp.int32),
+                jax.ShapeDtypeStruct((G, Nr, R), jnp.uint8),
+                jax.ShapeDtypeStruct((G, Nr), jnp.int32),
+                jax.ShapeDtypeStruct((G, Nr), jnp.bool_),
+                jax.ShapeDtypeStruct((F,), jnp.float32))
+        prewarm(("ks", G), ks_fn,
+                jax.ShapeDtypeStruct((G, 256, F), jnp.float32),
+                jax.ShapeDtypeStruct((G, L), jnp.float32))
+        if mesh is None:
+            # lev runs per group member through batched_levenshtein_auto
+            # (module-level jit cache) — prewarm by a dummy device call
+            def _lev_dummy():
+                try:
+                    jax.block_until_ready(batched_levenshtein_auto(
+                        jnp.zeros((S, Lp), jnp.uint8),
+                        jnp.ones((S,), jnp.int32),
+                        jnp.zeros((L,), jnp.uint8), mode="NW"))
+                except Exception:  # pragma: no cover — best-effort
+                    pass
+            if ("lev", (S, Lp)) not in prewarmed:
+                prewarmed[("lev", (S, Lp))] = compile_pool.submit(_lev_dummy)
+        else:
+            prewarm(("lev", (S, Lp)), _lev_sharded_jit(mesh),
+                    jax.ShapeDtypeStruct((G, S, Lp), jnp.uint8),
+                    jax.ShapeDtypeStruct((G, S), jnp.int32),
+                    jax.ShapeDtypeStruct((G, L), jnp.uint8))
+
+    # speculative upfront prewarm: eval bucket shapes are data-dependent
+    # (pack_strings rounds solutions to 64 and lengths to 128), but at a
+    # study shape the dominant bucket is S=64 x Lp=round_up(~seq_len, 128)
+    # and the read tensor is always [read_chunk, read_len]. Kicking those
+    # compiles off NOW — in parallel with the sim compile and each other —
+    # moves the whole eval compile chain off the cold critical path; a
+    # wrong guess wastes only background compile time.
+    Lp_guess = -(-L // 128) * 128
+    for Lp in (Lp_guess, Lp_guess + 128):
+        _prewarm_score(((64, Lp), (cfg.read_chunk, cfg.read_len)))
 
     # ---- stage 1: batched read simulation ---------------------------------
     with timer.stage("Generating sequencing reads (batched)"):
@@ -326,7 +417,6 @@ def _run_standard_batched(
     solutions: list[list[str] | None] = [None] * B
     packed: list[tuple | None] = [None] * B
 
-    score6 = _score_jit(cfg.kmer, cfg.read_chunk, mesh)
     score_fn = lambda pm, pl, rc, rn, rv: score6(pm, pl, rc, rn, rv, probs_all)
 
     def ks_chunked(path_freq, tr, chunk=256):
@@ -341,7 +431,6 @@ def _run_standard_batched(
                              constant_values=jnp.nan)
             outs.append(np.asarray(ks_fn(sl, tr)))
         return np.concatenate(outs, axis=1)[:, :S]
-    ks_fn = _ks_jit(mesh)
     if mesh is None:
         def lev_fn(pm, pl, gm):
             # per-member calls so the TPU path uses the Myers bit-vector
@@ -357,45 +446,11 @@ def _run_standard_batched(
 
     results: list[ExperimentResult | None] = [None] * B
 
-    def _group_cap(shape_key) -> int:
-        # the matcher materialises ~[G, S, P, read_chunk] compare buffers
-        # plus [G, S, 69904] f32 count matrices; budget both against HBM
-        # (measured safe on v5e: 2.4 GB compare + 1.1 GB counts at
-        # G=8 x S=512 x P=2048; ResourceExhausted was seen near 2x that)
-        S_bucket, P_bucket = shape_key[0]
-        cells = S_bucket * P_bucket * cfg.read_chunk
-        group = max(1, min(score_group,
-                           int(2.5e9 // max(cells, 1)),
-                           int(4096 // max(S_bucket, 1))))
-        if mesh is not None:
-            # each device carries `group` members; chunks fill the seg axis
-            group *= mesh.shape["seg"]
-        return group
-
-    F = int(probs_all.shape[0])
-
-    def _prewarm_score(key) -> None:
-        """Background-compile the score/KS programs for a bucket shape the
-        moment its first member appears — the group fills over several
-        native merges, hiding (part of) the compile latency."""
-        G = _group_cap(key)
-        (S, Lp), (Nr, R) = key
-        prewarm(("score", key), score6,
-                jax.ShapeDtypeStruct((G, S, Lp), jnp.uint8),
-                jax.ShapeDtypeStruct((G, S), jnp.int32),
-                jax.ShapeDtypeStruct((G, Nr, R), jnp.uint8),
-                jax.ShapeDtypeStruct((G, Nr), jnp.int32),
-                jax.ShapeDtypeStruct((G, Nr), jnp.bool_),
-                jax.ShapeDtypeStruct((F,), jnp.float32))
-        prewarm(("ks", G), ks_fn,
-                jax.ShapeDtypeStruct((G, 256, F), jnp.float32),
-                jax.ShapeDtypeStruct((G, L), jnp.float32))
-
     def _score_chunk(chunk: list[int], group: int) -> None:
         # wait for this bucket's background compiles (calling before they
         # finish would start a duplicate remote compile of the same program)
         key = (packed[chunk[0]][0].shape, packed[chunk[0]][2].shape)
-        for k in (("score", key), ("ks", group)):
+        for k in (("score", key), ("ks", group), ("lev", key[0])):
             if k in prewarmed:
                 prewarmed[k].result()
         # pad partial groups (repeat first member) to keep one shape
