@@ -19,6 +19,10 @@ import textwrap
 
 import pytest
 
+# two real OS processes + a coordinator handshake per test: minutes, not
+# seconds — full lane only (pytest -m "slow or not slow")
+pytestmark = pytest.mark.slow
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 _WORKER = textwrap.dedent("""

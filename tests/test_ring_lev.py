@@ -9,11 +9,34 @@ from genomeassembler_dev_tpu.ops.edit_distance_ring import make_ring_levenshtein
 from genomeassembler_dev_tpu.parallel.mesh import make_mesh
 from genomeassembler_dev_tpu.spec import reference_semantics as spec
 
+# shard_map wavefront sweeps over the virtual mesh take tens of seconds per
+# parametrization; the full matrix is full-lane only. test_ring_fast_smoke
+# below keeps one ring compile+match in the fast lane.
+
 
 def rand_dna(rng, n):
     return "".join(rng.choice(list("ACGT"), size=n))
 
 
+def test_ring_fast_smoke():
+    """Fast-lane representative: one 2-shard NW ring vs spec on tiny shapes."""
+    mesh = make_mesh(seg=1, read=2, tp=1)
+    fn = make_ring_levenshtein(mesh, axis="read", mode="NW")
+    rng = np.random.default_rng(3)
+    target = rand_dna(rng, 40)
+    M = 64 * 2
+    queries = [rand_dna(rng, 25), target[:30], target]
+    qmat = np.zeros((len(queries), M), np.uint8)
+    qlen = np.array([len(q) for q in queries], np.int32)
+    for i, q in enumerate(queries):
+        qmat[i, : len(q)] = encode_dna(q)
+    out = np.asarray(fn(jnp.asarray(qmat), jnp.asarray(qlen),
+                        jnp.asarray(encode_dna(target))))
+    assert out.tolist() == [spec.levenshtein(q, target, mode="NW")
+                            for q in queries]
+
+
+@pytest.mark.slow
 @pytest.mark.parametrize("mode", ["NW", "HW"])
 @pytest.mark.parametrize("n_shard", [2, 4])
 def test_matches_spec(mode, n_shard):
@@ -34,6 +57,7 @@ def test_matches_spec(mode, n_shard):
     assert out.tolist() == expect
 
 
+@pytest.mark.slow
 def test_matches_single_device_kernel():
     from genomeassembler_dev_tpu.ops.edit_distance import batched_levenshtein
 
@@ -52,6 +76,7 @@ def test_matches_single_device_kernel():
     np.testing.assert_array_equal(ring, single)
 
 
+@pytest.mark.slow
 class TestMyersRing:
     @pytest.mark.parametrize("mode", ["NW", "HW"])
     @pytest.mark.parametrize("n_shard", [2, 4])

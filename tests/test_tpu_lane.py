@@ -21,6 +21,10 @@ import textwrap
 
 import pytest
 
+# real-chip probe lane: contends with any study occupying the TPU and pays
+# on-hardware compiles — full lane only
+pytestmark = pytest.mark.slow
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 _SCRIPT = textwrap.dedent("""
