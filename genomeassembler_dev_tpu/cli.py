@@ -194,6 +194,15 @@ def cmd_study_gc(args):
     print(json.dumps({"csv": out}))
 
 
+def cmd_study_plots(args):
+    from genomeassembler_dev_tpu.utils.plots import study_plots
+
+    made = []
+    for d in args.study_dirs:
+        made += study_plots(d, top_frac=args.top_frac)
+    print(json.dumps({"figures": made}))
+
+
 def cmd_fit_model(args):
     from genomeassembler_dev_tpu.core.querytable import load_default_query_table
     from genomeassembler_dev_tpu.models import breakage_model as bm
@@ -275,6 +284,15 @@ def main(argv=None):
     p = sub.add_parser("study-gc", help="GC dependency (scripts/03)")
     _add_common(p)
     p.set_defaults(fn=cmd_study_gc)
+
+    p = sub.add_parser("study-plots",
+                       help="render the aggregated figure families from a "
+                            "study's results_summary/results_all CSVs "
+                            "(scripts/02_…:129-546, 00_…:129-169)")
+    p.add_argument("study_dirs", nargs="+",
+                   help="IndustryModel_* dirs holding the study CSVs")
+    p.add_argument("--top-frac", type=float, default=0.05)
+    p.set_defaults(fn=cmd_study_plots)
 
     p = sub.add_parser("fit-model", help="distil the QueryTable into the MLP")
     p.add_argument("--platform", default=None)
