@@ -351,6 +351,36 @@ def main():
     except Exception as e:
         log(f"B=256 extra skipped: {e}")
 
+    # --- extra: roofline / MFU accounting for the fused headline step -------
+    # "is it fast" relative to the CHIP, not just to single-core C++. FLOP
+    # and byte counts come from XLA's own cost model for the compiled step
+    # (auditable via jax .compile().cost_analysis()); peaks are the public
+    # TPU v5e numbers: 197 TFLOP/s bf16 MXU, 819 GB/s HBM.
+    V5E_PEAK_FLOPS = 197e12
+    V5E_PEAK_HBM = 819e9
+    try:
+        ca = step.lower(read_codes, read_valid).compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        fl = float(ca.get("flops", 0.0))
+        by = float(ca.get("bytes accessed", 0.0))
+        if fl > 0 and t_tpu > 0:
+            extras["fused_step_tflops_per_sec"] = round(fl / t_tpu / 1e12, 2)
+            extras["fused_step_pct_of_peak_mxu"] = round(
+                100.0 * fl / t_tpu / V5E_PEAK_FLOPS, 2)
+            log(f"roofline: fused step {fl / t_tpu / 1e12:.2f} TFLOP/s = "
+                f"{100.0 * fl / t_tpu / V5E_PEAK_FLOPS:.1f}% of v5e MXU peak "
+                f"(XLA-counted {fl / 1e9:.1f} GFLOP/batch)")
+        if by > 0 and t_tpu > 0:
+            extras["fused_step_hbm_gb_per_sec"] = round(by / t_tpu / 1e9, 1)
+            extras["fused_step_pct_of_hbm_peak"] = round(
+                100.0 * by / t_tpu / V5E_PEAK_HBM, 2)
+            log(f"roofline: fused step {by / t_tpu / 1e9:.1f} GB/s = "
+                f"{100.0 * by / t_tpu / V5E_PEAK_HBM:.1f}% of v5e HBM peak "
+                f"(XLA-counted {by / 1e6:.1f} MB/batch)")
+    except Exception as e:
+        log(f"roofline extra skipped: {e}")
+
     # --- extra: edit-distance throughput ------------------------------------
     try:
         if remaining() < 45:
@@ -393,8 +423,19 @@ def main():
         extras[f"lev_hw_gcells_per_sec_{S2}x{M2}x{T2}"] = round(
             S2 * M2 * T2 / t_hw / 1e9, 1)
         extras[f"lev_hw_alignments_per_sec_{S2}x{M2}x{T2}"] = round(S2 / t_hw, 1)
+        # VPU roofline for the Myers bit-vector kernel: each 32-cell word
+        # update costs ~14 int32 VPU ops (Eq lookup + Xv/Ph/Mh/Pv/Mv + two
+        # carry chains); modelled v5e VPU throughput ~4 SIMD units x (8x128)
+        # lanes x ~0.94 GHz ~ 3.9e12 int ops/s -> speed-of-light ~8.9e12
+        # cell updates/s. The model is stated here so the pct is auditable.
+        MYERS_CELL_BOUND = 3.9e12 * 32.0 / 14.0
+        cells_per_s = S2 * M2 * T2 / t_hw
+        extras["lev_hw_pct_of_vpu_bound"] = round(
+            100.0 * cells_per_s / MYERS_CELL_BOUND, 2)
         log(f"edit distance HW: {S2}x{M2}x{T2} in {t_hw:.2f} s -> "
-            f"{S2 * M2 * T2 / t_hw / 1e9:.1f} Gcell/s")
+            f"{S2 * M2 * T2 / t_hw / 1e9:.1f} Gcell/s "
+            f"({100.0 * cells_per_s / MYERS_CELL_BOUND:.1f}% of modelled "
+            f"VPU bound)")
     except Exception as e:  # extras must not break the bench
         log(f"edit-distance extras skipped: {e}")
 

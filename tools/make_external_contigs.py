@@ -14,8 +14,14 @@ seq_len = int(sys.argv[3]) if len(sys.argv) > 3 else 50000
 n = int(sys.argv[4]) if len(sys.argv) > 4 else 4
 piece = int(sys.argv[5]) if len(sys.argv) > 5 else 3000
 overlap = int(sys.argv[6]) if len(sys.argv) > 6 else 600
+# repeats=1 plants repeat structure in the segments (pair with the CLI's
+# --repeat-segments). NOTE: repeat-heavy segments make the tile ensemble
+# merge combinatorially (thousands of ~2x-length solutions per experiment);
+# the reference's velvet study runs on real genome segments where ensembles
+# stay small, so repeats=0 is the faithful stand-in at study scale.
+repeats = bool(int(sys.argv[7])) if len(sys.argv) > 7 else False
 
-store = synthetic_segment_store(seed, seq_len, n, repeats=True)
+store = synthetic_segment_store(seed, seq_len, n, repeats=repeats)
 os.makedirs(out_dir, exist_ok=True)
 for ind, seg in enumerate(store.seqs, start=1):
     tiles = {}
