@@ -117,34 +117,72 @@ class IndustryAssembler(Assembler):
             pmat, plens = pack_strings(solutions, s_multiple=64, l_multiple=128)
             uniq, counts = dedup_reads(np.asarray(rs.codes), np.asarray(rs.valid))
             rcodes, rcounts, rvalid = pad_reads(uniq, counts, cfg.read_chunk)
-            bs = breakscore(
-                jnp.asarray(pmat), jnp.asarray(plens), jnp.asarray(rcodes),
-                jnp.asarray(rcounts), jnp.asarray(rvalid),
-                jnp.asarray(self.table.combined, jnp.float32),
-                break_kmer=cfg.kmer, read_chunk=cfg.read_chunk,
-            )
+            # repeat-heavy ensembles can emit thousands of ~2x-genome-length
+            # solutions; evaluating all of them in one device program OOMs
+            # HBM (measured 22.8 G needed at S=8192 x L~103 kb on v5e: the
+            # [S, P] octamer profile + its pooled KS sorts + the [S, 69904]
+            # f32 count matrices + the [S, P, read_chunk] matcher compares).
+            # Chunk the solution axis under the same cell budget the batched
+            # runner uses (batch_runner._group_cap); one compiled shape for
+            # all full chunks, the tail padded with empty rows.
+            S_pad, L_pad = pmat.shape
+            P = L_pad - 8 + 1
+            s_chunk = int(min(
+                S_pad,
+                max(64, (int(2.0e9) // max(P * cfg.read_chunk, 1)) // 64 * 64),
+            ))
+            probs_dev = jnp.asarray(self.table.combined, jnp.float32)
+            probs8_dev = jnp.asarray(self.table.probs[8], jnp.float32)
             uni = jnp.asarray(self.uniform.combined, jnp.float32)
-            total = jnp.maximum(bs.kmer_breaks.astype(jnp.float32), 1.0)
-            bp_rand = dot_f32(bs.site_counts, uni)
-            bp_rand_nb = jnp.where(
-                bs.kmer_breaks > 0, dot_f32(bs.site_counts / total[:, None], uni), 0.0
-            )
-            bp_rand_nl = bp_rand / jnp.maximum(plens.astype(jnp.float32), 1.0)
+            rc_dev = jnp.asarray(rcodes)
+            rn_dev = jnp.asarray(rcounts)
+            rv_dev = jnp.asarray(rvalid)
+            g_dev = jnp.asarray(genome_codes)
+            outs: dict[str, list[np.ndarray]] = {
+                k: [] for k in ("bp_score", "bp_nb", "bp_nl", "kmer_breaks",
+                                "bp_rand", "bp_rand_nb", "bp_rand_nl",
+                                "ks", "lev")
+            }
+            for lo in range(0, S_pad, s_chunk):
+                pm_c = pmat[lo : lo + s_chunk]
+                pl_c = plens[lo : lo + s_chunk]
+                if pm_c.shape[0] < s_chunk:  # keep one compiled shape
+                    pad = s_chunk - pm_c.shape[0]
+                    pm_c = np.concatenate(
+                        [pm_c, np.zeros((pad, L_pad), pm_c.dtype)])
+                    pl_c = np.concatenate([pl_c, np.zeros(pad, pl_c.dtype)])
+                pm_d = jnp.asarray(pm_c)
+                pl_d = jnp.asarray(pl_c)
+                bs = breakscore(
+                    pm_d, pl_d, rc_dev, rn_dev, rv_dev, probs_dev,
+                    break_kmer=cfg.kmer, read_chunk=cfg.read_chunk,
+                )
+                total = jnp.maximum(bs.kmer_breaks.astype(jnp.float32), 1.0)
+                bp_rand = dot_f32(bs.site_counts, uni)
+                bp_rand_nb = jnp.where(
+                    bs.kmer_breaks > 0,
+                    dot_f32(bs.site_counts / total[:, None], uni), 0.0)
+                bp_rand_nl = bp_rand / jnp.maximum(pl_d.astype(jnp.float32), 1.0)
 
-            # per-position octamer probability profile of each solution
-            win8, win8_valid = kmer_window_codes(jnp.asarray(pmat), 8)
-            prof_valid = win8_valid & (
-                jnp.arange(win8.shape[1])[None, :] + 8 <= plens[:, None]
-            )
-            prof = jnp.asarray(self.table.probs[8], jnp.float32)[
-                jnp.minimum(win8, 65535)
-            ]
-            ks = batched_ks_2samp_masked(prof, prof_valid, rs.track)
-
-            lev = batched_levenshtein_auto(
-                jnp.asarray(pmat), jnp.asarray(plens),
-                jnp.asarray(genome_codes), mode="HW",
-            )
+                # per-position octamer probability profile of each solution
+                win8, win8_valid = kmer_window_codes(pm_d, 8)
+                prof_valid = win8_valid & (
+                    jnp.arange(win8.shape[1])[None, :] + 8 <= pl_d[:, None]
+                )
+                prof = probs8_dev[jnp.minimum(win8, 65535)]
+                ks_c = batched_ks_2samp_masked(prof, prof_valid, rs.track)
+                lev_c = batched_levenshtein_auto(pm_d, pl_d, g_dev, mode="HW")
+                outs["bp_score"].append(np.asarray(bs.bp_score))
+                outs["bp_nb"].append(
+                    np.asarray(bs.bp_score_norm_by_break_freqs))
+                outs["bp_nl"].append(np.asarray(bs.bp_score_norm_by_len))
+                outs["kmer_breaks"].append(np.asarray(bs.kmer_breaks))
+                outs["bp_rand"].append(np.asarray(bp_rand))
+                outs["bp_rand_nb"].append(np.asarray(bp_rand_nb))
+                outs["bp_rand_nl"].append(np.asarray(bp_rand_nl))
+                outs["ks"].append(np.asarray(ks_c))
+                outs["lev"].append(np.asarray(lev_c))
+            cat = {k: np.concatenate(v)[:S_pad] for k, v in outs.items()}
 
             startpos = np.array([segment.find(s) for s in solutions], np.int64)
             keep = startpos != -1  # lib/DeNovoAssembler.R:360-362
@@ -153,23 +191,23 @@ class IndustryAssembler(Assembler):
                                     cfg.seq_len)
 
             n_real = len(solutions)
-            order = np.argsort(-np.asarray(bs.bp_score)[:n_real], kind="stable")
+            order = np.argsort(-cat["bp_score"][:n_real], kind="stable")
             order = order[keep[order]]
-            ksv = np.asarray(ks)
+            ksv = cat["ks"]
             cols = {
                 "sequence": [solutions[i] for i in order],
                 "sequence_len": np.asarray(plens)[order],
-                "bp_score_true": np.asarray(bs.bp_score)[order],
-                "bp_score_norm_by_break_freqs_true": np.asarray(bs.bp_score_norm_by_break_freqs)[order],
-                "bp_score_norm_by_len_true": np.asarray(bs.bp_score_norm_by_len)[order],
-                "kmer_breaks": np.asarray(bs.kmer_breaks)[order],
-                "lev_dist_vs_true": np.asarray(lev)[order],
+                "bp_score_true": cat["bp_score"][order],
+                "bp_score_norm_by_break_freqs_true": cat["bp_nb"][order],
+                "bp_score_norm_by_len_true": cat["bp_nl"][order],
+                "kmer_breaks": cat["kmer_breaks"][order],
+                "lev_dist_vs_true": cat["lev"][order],
                 "stat_test_KS_true": ksv[order],
                 "path_prob_dist_startpos": startpos[order],
                 "contig_frac_len": np.full(len(order), frac),
-                "bp_score_random": np.asarray(bp_rand)[order],
-                "bp_score_norm_by_break_freqs_random": np.asarray(bp_rand_nb)[order],
-                "bp_score_norm_by_len_random": np.asarray(bp_rand_nl)[order],
+                "bp_score_random": cat["bp_rand"][order],
+                "bp_score_norm_by_break_freqs_random": cat["bp_rand_nb"][order],
+                "bp_score_norm_by_len_random": cat["bp_rand_nl"][order],
                 "stat_test_KS_random": ksv[order],
             }
         return ExperimentResult(columns=cols, stats=stats, timings=timer.times)
