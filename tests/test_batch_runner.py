@@ -74,6 +74,7 @@ def test_mesh_sharded_matches_single_device(table):
         assert got.stats == ref.stats
 
 
+@pytest.mark.slow
 def test_mesh_read_sharded_matches_single_device(table):
     """A (seg x read x tp) mesh routes the score stage through the collective
     make_breakscore_step (partial site counts psum'd over `read`, table dots
