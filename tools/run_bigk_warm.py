@@ -46,7 +46,8 @@ def main():
             print(f"{traversal} {label}: {dt:.1f} s, "
                   f"{res.n_solutions} solutions", flush=True)
         out[traversal] = runs
-    with open("studies/bigk_warm_r4.json", "w") as f:
+    out_path = os.environ.get("GA_BIGK_OUT", "studies/bigk_warm_r4.json")
+    with open(out_path, "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out, indent=1))
 

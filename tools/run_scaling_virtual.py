@@ -34,10 +34,10 @@ from genomeassembler_dev_tpu.sim.segments import synthetic_genome
 
 
 def main():
-    cfg = ExperimentConfig(seq_len=1000, read_len=12, dbg_kmer=9,
-                           coverage_target=40.0, kmer=8, seed=1234,
-                           n_orderings=2000)
-    B = 16
+    cfg = ExperimentConfig(seq_len=500, read_len=12, dbg_kmer=9,
+                           coverage_target=30.0, kmer=8, seed=1234,
+                           n_orderings=500)
+    B = 8
     segs = [synthetic_genome(1000 + i, cfg.seq_len) for i in range(B)]
     table = load_default_query_table()
 
@@ -63,7 +63,12 @@ def main():
                        "experiments_per_s": round(B / dt, 3),
                        "matches_single_device": bitwise_equal})
         print(points[-1], flush=True)
+        _write(cfg, B, points)  # incremental: a timeout still leaves a record
 
+    _write(cfg, B, points)
+
+
+def _write(cfg, B, points):
     base = points[0]["experiments_per_s"]
     for p in points:
         n = {"1dev": 1, "seg2": 2, "seg4": 4, "seg8": 8,
@@ -87,7 +92,7 @@ def main():
         os.path.abspath(__file__))), "studies", "scaling_virtual.json")
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
-    print("wrote", path)
+    print("wrote", path, flush=True)
 
 
 if __name__ == "__main__":
