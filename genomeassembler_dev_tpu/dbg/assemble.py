@@ -41,7 +41,7 @@ def _pair_codes_jit(codes, k: int):
     return kmer_pair_codes(codes, k)
 
 
-def _walk_cap_ladder(run, n_kmers: int, max_contig_len: int):
+def _walk_cap_ladder(run, n_kmers: int, max_contig_len: int, mw0: int = 4096):
     """Run a contig builder under growing walk/node-capacity ladders.
 
     `run(max_walks, node_cap)` returns (buf, lens, valid, overflow, n_total,
@@ -51,8 +51,17 @@ def _walk_cap_ladder(run, n_kmers: int, max_contig_len: int):
     150 bp reads, k=31) has 1.6M k-mers x 100k cap = 160 GB — and sizing the
     node arrays to 2E makes the doubling walk pay ~2E/n_nodes x redundant
     gather work (measured 14.6 s vs <1 s at that config), while real counts
-    are tiny. Start small and retry with the next power of two on overflow."""
-    mw = min(4096, 1 << max(1, n_kmers - 1).bit_length())
+    are tiny. Start small and retry with the next power of two on overflow.
+
+    mw0 caps the FIRST rung. The standard walk materialises node-domain
+    scatters (cost ~V log V, walk-capacity-free), so 4096 is free there; the
+    biased greedy walk materialises a [W, steps] path matrix whose gather
+    work scales with W — its callers start at 64 (real walk counts are tens;
+    overflow retries once at the true count's power of two, and the rung
+    lands in the persistent compile cache for the study's remaining
+    experiments). Measured at BASELINE config 1: 34.7 s warm at W=4096 vs
+    ~0.9 s at W=64 (studies/bigk_warm_r5.json / biased_w64)."""
+    mw = min(mw0, 1 << max(1, n_kmers - 1).bit_length())
     nc = min(1 << max(1, max_contig_len + 64 - 1).bit_length(), 2 * n_kmers)
     while True:
         out = run(mw, nc)

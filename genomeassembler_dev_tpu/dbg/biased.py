@@ -80,8 +80,12 @@ def _greedy_walk(node_char, succ_b, w_start, prefix_chars, wvalid, k: int,
     iteration while_loop: with jump_L = succ^L, the node at step j+L is
     jump_L[P[:, j]], so each round doubles the materialized path length.
     log2(max_len) rounds of [W, L] gathers replace max_len sequential steps
-    (50 kb walks: ~17 rounds vs ~50,000 iterations; measured 23.9 s -> <1 s
-    warm at BASELINE config 1, studies/bigk_warm_r4.json)."""
+    (50 kb walks: ~17 rounds vs ~50,000 iterations). The gather work scales
+    with the STATIC walk capacity W, so callers must size W near the real
+    walk count (dbg/assemble.py ladder, mw0=64): measured at BASELINE
+    config 1, 34.7 s warm at W=4096 vs 0.84 s at W=64 — vs 23.9 s for the
+    r4 char-per-step loop (studies/bigk_warm_r5.json,
+    studies/biased_w64_r5.json)."""
     W = w_start.shape[0]
     V = node_char.shape[0]
     steps = max_len - (k - 1)  # chars appended after the seeded prefix

@@ -227,7 +227,9 @@ class Assembler:
                         hi, lo, kv, probs8, cfg.dbg_kmer, cfg.contig_cap, mw,
                         node_cap=nc)
 
-            out = _walk_cap_ladder(run, int(kc.size), cfg.contig_cap)
+            # the greedy walk's [W, steps] path materialisation scales with
+            # walk capacity; start the ladder at 64 (see _walk_cap_ladder)
+            out = _walk_cap_ladder(run, int(kc.size), cfg.contig_cap, mw0=64)
         buf, lens, wvalid, ovf = out[:4]
         # capped (overflowing) walks are kept at their truncated length
         return dedup_contigs(np.asarray(buf), np.asarray(lens),

@@ -84,6 +84,7 @@ def test_plots(tmp_path, table):
         assert os.path.getsize(p) > 1000
 
 
+@pytest.mark.slow
 def test_scaling_harness(table):
     from genomeassembler_dev_tpu.parallel.scaling import measure_scaling
 

@@ -39,6 +39,7 @@ def test_matches_serial_runner(table):
         assert got.stats["nr_of_reads"] == ref.stats["nr_of_reads"]
 
 
+@pytest.mark.slow
 def test_mesh_sharded_matches_single_device(table):
     """The shard_map study path over the virtual 8-device mesh reproduces
     the single-device batched run bit-for-bit, including the padding path

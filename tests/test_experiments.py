@@ -207,6 +207,7 @@ class TestNewCLICommands:
         assert out["loss_last"] < out["loss_first"]
         assert os.path.exists(out["checkpoint"])
 
+    @pytest.mark.slow
     def test_bench_scaling(self, capsys):
         cli.main(["bench-scaling", "--platform", "cpu", "--devices", "1,2",
                   "--segments-per-device", "2", "--seq-len", "200",
