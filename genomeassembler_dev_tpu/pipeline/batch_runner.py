@@ -157,6 +157,23 @@ def _score_jit(break_kmer: int, read_chunk: int, mesh):
 
 
 @lru_cache(maxsize=16)
+def _rand_scores_jit(mesh):
+    """Random-table score dots as ONE program: eager division + two dot
+    dispatches were three separate remote compiles on the cold path (the
+    tunneled backend pays ~15-20 s per program, serialized)."""
+    def fn(site_counts, kmer_breaks, uni):
+        total = jnp.maximum(kmer_breaks.astype(jnp.float32), 1.0)
+        bp_rand = dot_f32(site_counts, uni)
+        bp_rand_nb = jnp.where(
+            kmer_breaks > 0,
+            dot_f32(site_counts / total[..., None], uni), 0.0)
+        return bp_rand, bp_rand_nb
+    if mesh is None:
+        return jax.jit(fn)
+    return _shard_over_seg(fn, mesh, n_in=2, n_repl=1)
+
+
+@lru_cache(maxsize=16)
 def _ks_jit(mesh):
     vks = jax.vmap(batched_ks_2samp)
     if mesh is None:
@@ -260,10 +277,14 @@ def _run_standard_batched(
     # the persistent cache, which the real call then loads)
     from concurrent.futures import ThreadPoolExecutor
 
-    # compiles on the tunneled backend are round-trip-latency-bound, not
-    # host-CPU-bound, so a wide pool overlaps many remote compiles/cache
-    # loads; 8 covers every distinct stage program of a study shape
-    compile_pool = ThreadPoolExecutor(max_workers=8)
+    # the tunneled backend SERIALIZES compile requests server-side (measured:
+    # three identical fresh processes each paid the full ~2-3 min compile
+    # chain with a fully-primed local cache — the persistent cache does not
+    # cover remote axon compiles), so prewarm exists to ORDER compiles by
+    # need and overlap them with device execution, not to fan out: a wide
+    # speculative pool delays the critical-path compile behind guesses
+    # (measured cold 74 s -> 120 s with 8-wide speculation)
+    compile_pool = ThreadPoolExecutor(max_workers=3)
     prewarmed: dict = {}
 
     def prewarm(key, fn, *abstract_args):
@@ -298,6 +319,7 @@ def _run_standard_batched(
     # real buckets appear) --------------------------------------------------
     score6 = _score_jit(cfg.kmer, cfg.read_chunk, mesh)
     ks_fn = _ks_jit(mesh)
+    rand_fn = _rand_scores_jit(mesh)
     F = int(probs_all.shape[0])
 
     def _group_cap(shape_key) -> int:
@@ -331,6 +353,10 @@ def _run_standard_batched(
         prewarm(("ks", G), ks_fn,
                 jax.ShapeDtypeStruct((G, 256, F), jnp.float32),
                 jax.ShapeDtypeStruct((G, L), jnp.float32))
+        prewarm(("rand", (G, S)), rand_fn,
+                jax.ShapeDtypeStruct((G, S, F), jnp.float32),
+                jax.ShapeDtypeStruct((G, S), jnp.int32),
+                jax.ShapeDtypeStruct((F,), jnp.float32))
         if mesh is None:
             # lev runs per group member through batched_levenshtein_auto
             # (module-level jit cache) — prewarm by a dummy device call
@@ -350,16 +376,10 @@ def _run_standard_batched(
                     jax.ShapeDtypeStruct((G, S), jnp.int32),
                     jax.ShapeDtypeStruct((G, L), jnp.uint8))
 
-    # speculative upfront prewarm: eval bucket shapes are data-dependent
-    # (pack_strings rounds solutions to 64 and lengths to 128), but at a
-    # study shape the dominant bucket is S=64 x Lp=round_up(~seq_len, 128)
-    # and the read tensor is always [read_chunk, read_len]. Kicking those
-    # compiles off NOW — in parallel with the sim compile and each other —
-    # moves the whole eval compile chain off the cold critical path; a
-    # wrong guess wastes only background compile time.
-    Lp_guess = -(-L // 128) * 128
-    for Lp in (Lp_guess, Lp_guess + 128):
-        _prewarm_score(((64, Lp), (cfg.read_chunk, cfg.read_len)))
+    # NOTE: no speculative bucket prewarm here — on a compile-serializing
+    # backend a wrong guess delays the real compiles (see pool note above);
+    # _prewarm_score fires on each bucket's FIRST member instead, which still
+    # overlaps the score/KS/Lev compiles with the native merges.
 
     # ---- stage 1: batched read simulation ---------------------------------
     with timer.stage("Generating sequencing reads (batched)"):
@@ -465,12 +485,10 @@ def _run_standard_batched(
         bs = score_fn(pm, pl, rc, rn, rv)
         lev = np.asarray(lev_fn(pm, pl, gm))
         ks = ks_chunked(bs.path_freq, tr)
-        bp_rand = np.asarray(dot_f32(bs.site_counts, uni_all))
-        total = np.maximum(np.asarray(bs.kmer_breaks), 1).astype(np.float32)
-        bp_rand_nb = np.asarray(
-            dot_f32(bs.site_counts / jnp.asarray(total)[..., None], uni_all)
-        )
-        bp_rand_nb = np.where(np.asarray(bs.kmer_breaks) > 0, bp_rand_nb, 0.0)
+        bp_rand_d, bp_rand_nb_d = rand_fn(bs.site_counts, bs.kmer_breaks,
+                                          uni_all)
+        bp_rand = np.asarray(bp_rand_d)
+        bp_rand_nb = np.asarray(bp_rand_nb_d)
         plv = np.asarray(pl).astype(np.float32)
         bp_rand_nl = bp_rand / np.maximum(plv, 1.0)
 
