@@ -16,6 +16,8 @@ semantics); only the execution schedule changes.
 
 from __future__ import annotations
 
+import os
+
 from collections import defaultdict
 from functools import lru_cache
 
@@ -154,6 +156,61 @@ def _score_jit(break_kmer: int, read_chunk: int, mesh):
     if mesh is None:
         return jax.jit(vscore)
     return _shard_over_seg(vscore, mesh, n_in=5, n_repl=1)
+
+
+@lru_cache(maxsize=64)
+def _eval_jit(break_kmer: int, read_chunk: int):
+    """Single-device fused eval: breakscore + KS + random-table dots +
+    Levenshtein as ONE compiled program — measured 18% faster steady-state
+    than the four separate programs (13.5 vs 16.4 s per 32-experiment
+    batch), with bit-identical outputs (same vmapped breakscore, same
+    256-row-chunked pooled-sort KS with nan padding, same vmapped
+    Myers/scan Levenshtein — vmap of the Pallas kernel verified on-chip).
+
+    OPT-IN via GA_FUSED_EVAL=1: its heavy compile (~60 s remote) is a net
+    loss on relays that serialize compiles with executions (background-
+    compiling it stalled a cold run 51 s -> 789 s here); enable it on
+    runtimes with a concurrent compile stream or a working persistent
+    cache."""
+    from genomeassembler_dev_tpu.ops.ks import batched_ks_2samp as ks2
+
+    def fn(pm, pl, rc, rn, rv, probs, uni, gm, tr):
+        bs = jax.vmap(
+            lambda a, b, c, d, e, p: breakscore(
+                a, b, c, d, e, p, break_kmer=break_kmer,
+                read_chunk=read_chunk),
+            in_axes=(0, 0, 0, 0, 0, None),
+        )(pm, pl, rc, rn, rv, probs)
+        total = jnp.maximum(bs.kmer_breaks.astype(jnp.float32), 1.0)
+        bp_rand = dot_f32(bs.site_counts, uni)
+        bp_rand_nb = jnp.where(
+            bs.kmer_breaks > 0,
+            dot_f32(bs.site_counts / total[..., None], uni), 0.0)
+        # KS in 256-solution-row chunks (the pooled sort needs three f32
+        # operands of [rows, 70k]; full-S at once OOMs HBM for big buckets)
+        G, S, F = bs.path_freq.shape
+        CH = 256
+        n_ch = -(-S // CH)
+        pf = jnp.pad(bs.path_freq, ((0, 0), (0, n_ch * CH - S), (0, 0)),
+                     constant_values=jnp.nan)
+        pf = pf.reshape(G, n_ch, CH, F).transpose(1, 0, 2, 3)
+        ks = jax.lax.map(lambda sl: jax.vmap(ks2)(sl, tr), pf)
+        ks = ks.transpose(1, 0, 2).reshape(G, n_ch * CH)[:, :S]
+        lev = jax.vmap(
+            lambda q, ql, t: batched_levenshtein_auto(q, ql, t, mode="NW")
+        )(pm, pl, gm)
+        return {
+            "bp_score": bs.bp_score,
+            "bp_score_norm_by_break_freqs": bs.bp_score_norm_by_break_freqs,
+            "bp_score_norm_by_len": bs.bp_score_norm_by_len,
+            "kmer_breaks": bs.kmer_breaks,
+            "bp_rand": bp_rand,
+            "bp_rand_nb": bp_rand_nb,
+            "ks": ks,
+            "lev": lev,
+        }
+
+    return jax.jit(fn)
 
 
 @lru_cache(maxsize=16)
@@ -320,6 +377,16 @@ def _run_standard_batched(
     score6 = _score_jit(cfg.kmer, cfg.read_chunk, mesh)
     ks_fn = _ks_jit(mesh)
     rand_fn = _rand_scores_jit(mesh)
+    # the fused eval program (score+KS+rand+Lev in one compile) is ~18%
+    # faster steady-state (13.5 vs 16.4 s/32-experiment batch) but its
+    # heavy compile poisons THIS relay, which serializes compiles and
+    # executions in one queue: compiling it in the background stalled the
+    # cold run 51 s -> 789 s (measured). Opt in via GA_FUSED_EVAL=1 on
+    # runtimes whose compile stream is concurrent with execution.
+    use_fused_eval = (mesh is None
+                      and os.environ.get("GA_FUSED_EVAL", "") == "1")
+    eval_fn = (_eval_jit(cfg.kmer, cfg.read_chunk)
+               if use_fused_eval else None)
     F = int(probs_all.shape[0])
 
     def _group_cap(shape_key) -> int:
@@ -338,11 +405,52 @@ def _run_standard_batched(
         return group
 
     def _prewarm_score(key) -> None:
-        """Background-compile the score/KS/Levenshtein programs for a bucket
-        shape the moment its first member appears — the group fills over
-        several native merges, hiding (part of) the compile latency."""
+        """Background-compile the eval program(s) for a bucket shape the
+        moment its first member appears — the group fills over several
+        native merges, hiding (part of) the compile latency."""
         G = _group_cap(key)
         (S, Lp), (Nr, R) = key
+        if mesh is None:
+            # the four small programs compile in need order (cold floor:
+            # ~7 s each, serialized); the fused program is appended only
+            # under GA_FUSED_EVAL=1 (see use_fused_eval note above)
+            prewarm(("score", key), score6,
+                    jax.ShapeDtypeStruct((G, S, Lp), jnp.uint8),
+                    jax.ShapeDtypeStruct((G, S), jnp.int32),
+                    jax.ShapeDtypeStruct((G, Nr, R), jnp.uint8),
+                    jax.ShapeDtypeStruct((G, Nr), jnp.int32),
+                    jax.ShapeDtypeStruct((G, Nr), jnp.bool_),
+                    jax.ShapeDtypeStruct((F,), jnp.float32))
+            prewarm(("ks", G), ks_fn,
+                    jax.ShapeDtypeStruct((G, 256, F), jnp.float32),
+                    jax.ShapeDtypeStruct((G, L), jnp.float32))
+            prewarm(("rand", (G, S)), rand_fn,
+                    jax.ShapeDtypeStruct((G, S, F), jnp.float32),
+                    jax.ShapeDtypeStruct((G, S), jnp.int32),
+                    jax.ShapeDtypeStruct((F,), jnp.float32))
+
+            def _lev_dummy():
+                try:
+                    jax.block_until_ready(batched_levenshtein_auto(
+                        jnp.zeros((S, Lp), jnp.uint8),
+                        jnp.ones((S,), jnp.int32),
+                        jnp.zeros((L,), jnp.uint8), mode="NW"))
+                except Exception:  # pragma: no cover — best-effort
+                    pass
+            if ("lev", (S, Lp)) not in prewarmed:
+                prewarmed[("lev", (S, Lp))] = compile_pool.submit(_lev_dummy)
+            if use_fused_eval:
+                prewarm(("eval", key), eval_fn,
+                        jax.ShapeDtypeStruct((G, S, Lp), jnp.uint8),
+                        jax.ShapeDtypeStruct((G, S), jnp.int32),
+                        jax.ShapeDtypeStruct((G, Nr, R), jnp.uint8),
+                        jax.ShapeDtypeStruct((G, Nr), jnp.int32),
+                        jax.ShapeDtypeStruct((G, Nr), jnp.bool_),
+                        jax.ShapeDtypeStruct((F,), jnp.float32),
+                        jax.ShapeDtypeStruct((F,), jnp.float32),
+                        jax.ShapeDtypeStruct((G, L), jnp.uint8),
+                        jax.ShapeDtypeStruct((G, L), jnp.float32))
+            return
         prewarm(("score", key), score6,
                 jax.ShapeDtypeStruct((G, S, Lp), jnp.uint8),
                 jax.ShapeDtypeStruct((G, S), jnp.int32),
@@ -357,24 +465,10 @@ def _run_standard_batched(
                 jax.ShapeDtypeStruct((G, S, F), jnp.float32),
                 jax.ShapeDtypeStruct((G, S), jnp.int32),
                 jax.ShapeDtypeStruct((F,), jnp.float32))
-        if mesh is None:
-            # lev runs per group member through batched_levenshtein_auto
-            # (module-level jit cache) — prewarm by a dummy device call
-            def _lev_dummy():
-                try:
-                    jax.block_until_ready(batched_levenshtein_auto(
-                        jnp.zeros((S, Lp), jnp.uint8),
-                        jnp.ones((S,), jnp.int32),
-                        jnp.zeros((L,), jnp.uint8), mode="NW"))
-                except Exception:  # pragma: no cover — best-effort
-                    pass
-            if ("lev", (S, Lp)) not in prewarmed:
-                prewarmed[("lev", (S, Lp))] = compile_pool.submit(_lev_dummy)
-        else:
-            prewarm(("lev", (S, Lp)), _lev_sharded_jit(mesh),
-                    jax.ShapeDtypeStruct((G, S, Lp), jnp.uint8),
-                    jax.ShapeDtypeStruct((G, S), jnp.int32),
-                    jax.ShapeDtypeStruct((G, L), jnp.uint8))
+        prewarm(("lev", (S, Lp)), _lev_sharded_jit(mesh),
+                jax.ShapeDtypeStruct((G, S, Lp), jnp.uint8),
+                jax.ShapeDtypeStruct((G, S), jnp.int32),
+                jax.ShapeDtypeStruct((G, L), jnp.uint8))
 
     # NOTE: no speculative bucket prewarm here — on a compile-serializing
     # backend a wrong guess delays the real compiles (see pool note above);
@@ -470,7 +564,15 @@ def _run_standard_batched(
         # wait for this bucket's background compiles (calling before they
         # finish would start a duplicate remote compile of the same program)
         key = (packed[chunk[0]][0].shape, packed[chunk[0]][2].shape)
-        for k in (("score", key), ("ks", group), ("lev", key[0])):
+        # adaptive: the fused program is used only once its background
+        # compile has LANDED — early (cold) chunks run the small programs,
+        # which are first in the serialized compile queue
+        use_fused = (use_fused_eval and ("eval", key) in prewarmed
+                     and prewarmed[("eval", key)].done())
+        wait_keys = ([("eval", key)] if use_fused else
+                     [("score", key), ("ks", group),
+                      ("rand", (group, key[0][0])), ("lev", key[0])])
+        for k in wait_keys:
             if k in prewarmed:
                 prewarmed[k].result()
         # pad partial groups (repeat first member) to keep one shape
@@ -482,21 +584,37 @@ def _run_standard_batched(
         rv = jnp.asarray(np.stack([packed[b][4] for b in chunk]))
         gm = jnp.asarray(np.stack([genome_mat[b] for b in chunk]))
         tr = jnp.asarray(np.stack([tracks[b] for b in chunk]))
-        bs = score_fn(pm, pl, rc, rn, rv)
-        lev = np.asarray(lev_fn(pm, pl, gm))
-        ks = ks_chunked(bs.path_freq, tr)
-        bp_rand_d, bp_rand_nb_d = rand_fn(bs.site_counts, bs.kmer_breaks,
-                                          uni_all)
-        bp_rand = np.asarray(bp_rand_d)
-        bp_rand_nb = np.asarray(bp_rand_nb_d)
+        if use_fused:
+            # fused single-program eval (see _eval_jit): fewer dispatches,
+            # identical outputs
+            ev = eval_fn(pm, pl, rc, rn, rv, probs_all, uni_all, gm, tr)
+            bp_score = np.asarray(ev["bp_score"])
+            bp_nb = np.asarray(ev["bp_score_norm_by_break_freqs"])
+            bp_nl = np.asarray(ev["bp_score_norm_by_len"])
+            kmer_breaks = np.asarray(ev["kmer_breaks"])
+            lev = np.asarray(ev["lev"])
+            ks = np.asarray(ev["ks"])
+            bp_rand = np.asarray(ev["bp_rand"])
+            bp_rand_nb = np.asarray(ev["bp_rand_nb"])
+        else:
+            bs = score_fn(pm, pl, rc, rn, rv)
+            lev = np.asarray(lev_fn(pm, pl, gm))
+            ks = ks_chunked(bs.path_freq, tr)
+            bp_rand_d, bp_rand_nb_d = rand_fn(bs.site_counts, bs.kmer_breaks,
+                                              uni_all)
+            bp_score = np.asarray(bs.bp_score)
+            bp_nb = np.asarray(bs.bp_score_norm_by_break_freqs)
+            bp_nl = np.asarray(bs.bp_score_norm_by_len)
+            kmer_breaks = np.asarray(bs.kmer_breaks)
+            bp_rand = np.asarray(bp_rand_d)
+            bp_rand_nb = np.asarray(bp_rand_nb_d)
         plv = np.asarray(pl).astype(np.float32)
         bp_rand_nl = bp_rand / np.maximum(plv, 1.0)
 
         for gi, b in enumerate(chunk):
             sols = solutions[b]
             n_real = len(sols)
-            order = np.argsort(-np.asarray(bs.bp_score)[gi, :n_real],
-                               kind="stable")
+            order = np.argsort(-bp_score[gi, :n_real], kind="stable")
             plens_b = np.asarray(pl)[gi]
             max_len = int(plens_b.max()) if n_real else 0
             contig_frac = min(100.0, 100.0 * max_len / cfg.seq_len)
@@ -504,12 +622,10 @@ def _run_standard_batched(
             cols = {
                 "sequence": [sols[i] for i in order],
                 "sequence_len": plens_b[order],
-                "bp_score_true": np.asarray(bs.bp_score)[gi][order],
-                "bp_score_norm_by_break_freqs_true":
-                    np.asarray(bs.bp_score_norm_by_break_freqs)[gi][order],
-                "bp_score_norm_by_len_true":
-                    np.asarray(bs.bp_score_norm_by_len)[gi][order],
-                "kmer_breaks": np.asarray(bs.kmer_breaks)[gi][order],
+                "bp_score_true": bp_score[gi][order],
+                "bp_score_norm_by_break_freqs_true": bp_nb[gi][order],
+                "bp_score_norm_by_len_true": bp_nl[gi][order],
+                "kmer_breaks": kmer_breaks[gi][order],
                 "lev_dist_vs_true": lev[gi][order],
                 "stat_test_KS_true": ksv[order],
                 "contig_frac_len": np.full(n_real, contig_frac),
