@@ -106,3 +106,28 @@ def test_mesh_read_sharded_matches_single_device(table):
                     "bp_score_norm_by_len_true"):
             np.testing.assert_allclose(got.columns[key], ref.columns[key],
                                        rtol=1e-6)
+
+
+def test_fused_eval_matches_default(table, monkeypatch):
+    """GA_FUSED_EVAL=1 routes eval through the single fused program
+    (score+KS+rand+Lev in one jit) — outputs must equal the default
+    4-program chain (the fused path is opt-in for runtimes whose compile
+    stream is concurrent with execution; see batch_runner.use_fused_eval)."""
+    monkeypatch.setenv("GA_FUSED_EVAL", "1")
+    cfg = ExperimentConfig(seq_len=300, read_len=12, coverage_target=15.0,
+                           kmer=8, dbg_kmer=9, seed=1234, n_orderings=200)
+    segs = list(synthetic_segment_store(17, 300, 2).seqs)
+    fused = run_experiments_batched(cfg, segs, table, score_group=2)
+    monkeypatch.delenv("GA_FUSED_EVAL")
+    plain = run_experiments_batched(cfg, segs, table, score_group=2)
+    for got, ref in zip(fused, plain):
+        assert got.columns["sequence"] == ref.columns["sequence"]
+        for key in ("sequence_len", "kmer_breaks", "lev_dist_vs_true"):
+            np.testing.assert_array_equal(got.columns[key], ref.columns[key])
+        for key in ("bp_score_true", "bp_score_random",
+                    "bp_score_norm_by_len_true"):
+            np.testing.assert_allclose(got.columns[key], ref.columns[key],
+                                       rtol=1e-5)
+        ksa, ksb = got.columns["stat_test_KS_true"], ref.columns["stat_test_KS_true"]
+        mask = ~np.isnan(ksb)
+        np.testing.assert_allclose(ksa[mask], ksb[mask], atol=1e-6)
